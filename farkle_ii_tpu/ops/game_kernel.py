@@ -1,0 +1,513 @@
+"""Batched Farkle game kernel: one `lax.while_loop` over a game batch.
+
+TPU-native re-design of the reference's per-game Python loops
+(``/root/reference/src/farkle/game/engine.py:208`` take_turn, ``:436`` play).
+Instead of nested per-turn/per-roll ``while`` statements per game object, the
+whole batch advances through a single flattened *roll-step* loop:
+
+* state is a struct-of-arrays over a static batch of ``B`` games with ``K``
+  seats each (all int32 / bool, fixed shapes);
+* every iteration performs exactly one roll for the current seat of every
+  still-active game: draw dice, score via a dense table gather, run the
+  vectorized smart-discard scan, apply the continue/bank algebra, and handle
+  turn/round/final-round transitions with masks;
+* games that finish keep riding the loop as masked no-ops until the whole
+  batch is done (``lax.while_loop`` over ``any(~done)``).
+
+Rule semantics match the reference exactly (validated by lockstep tests
+against the host oracle engine):
+
+* 500-point entry gate (engine.py:267), hot-dice auto-reroll (engine.py:149),
+  final-round catch-up with a moving score-to-beat (engine.py:189-205,523),
+  stable seat-order tie-breaking for ranks (engine.py:477), target 10,000,
+  ``max_rounds=200`` safety limit with no winner (engine.py:472-489).
+* One deliberate deviation: the reference *raises* when a single turn exceeds
+  ``ROLL_LIMIT=1000`` rolls (engine.py:241-243), killing the whole run. A
+  vectorized kernel cannot raise per game, so the turn is force-banked
+  instead and counted in ``roll_limit_hits`` (always 0 in practice; the limit
+  is unreachable for real strategies).
+
+Randomness: each (game, seat) owns a coordinate-addressed threefry key; each
+roll folds the seat's monotonic roll counter into that key, so dice streams
+are pure functions of ``(coordinates..., seat, roll_index)`` — independent of
+batch placement, shard layout, and iteration order, which is the TPU analogue
+of the reference's "worker order is not a coordinate" rule.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from farkle_ii_tpu.rules import tables
+
+ROLL_LIMIT = 1000
+DEFAULT_TARGET_SCORE = 10_000
+DEFAULT_MAX_ROUNDS = 200
+
+# Strategy flag bits — must match farkle_ii_tpu.simulation.strategies.
+FLAG_SMART_FIVE = 1 << 0
+FLAG_SMART_ONE = 1 << 1
+FLAG_CONSIDER_SCORE = 1 << 2
+FLAG_CONSIDER_DICE = 1 << 3
+FLAG_REQUIRE_BOTH = 1 << 4
+FLAG_AUTO_HOT_DICE = 1 << 5
+FLAG_RUN_UP_SCORE = 1 << 6
+FLAG_FAVOR_SCORE = 1 << 7
+
+_RADIX = jnp.array([7**i for i in range(6)], dtype=jnp.int32)
+
+# 49 smart-discard candidates: d5 outer 0..6, d1 inner 0..6 (enumeration
+# order matches the oracle; selection is order-independent because candidate
+# keys are provably unique).
+_CAND_D5 = jnp.arange(49, dtype=jnp.int32) // 7
+_CAND_D1 = jnp.arange(49, dtype=jnp.int32) % 7
+
+
+class GameState(NamedTuple):
+    """Struct-of-arrays state for a batch of B games with K seats."""
+
+    # per-seat (B, K) int32 unless noted
+    scores: jax.Array
+    has_scored: jax.Array  # bool
+    n_turns: jax.Array
+    n_farkles: jax.Array
+    n_rolls: jax.Array
+    highest_turn: jax.Array
+    smart_five_uses: jax.Array
+    n_smart_five_dice: jax.Array
+    smart_one_uses: jax.Array
+    n_smart_one_dice: jax.Array
+    n_hot_dice: jax.Array
+    # per-game (B,) int32 unless noted
+    turn_score: jax.Array
+    dice_left: jax.Array
+    seat: jax.Array
+    round_num: jax.Array
+    rolls_this_turn: jax.Array
+    final_round: jax.Array  # bool
+    score_to_beat: jax.Array
+    trigger_seat: jax.Array
+    done: jax.Array  # bool
+    safety: jax.Array  # bool
+    n_rounds: jax.Array
+    roll_limit_hits: jax.Array
+    step: jax.Array  # () int32 global iteration counter
+
+
+class GameResult(NamedTuple):
+    """Final per-game outputs (host-decodable)."""
+
+    scores: jax.Array  # (B, K)
+    ranks: jax.Array  # (B, K) 1-based; undefined content for safety games
+    completed: jax.Array  # (B,) bool
+    winner_seat: jax.Array  # (B,) 0-based; -1 for safety games
+    winning_score: jax.Array  # (B,)
+    margin: jax.Array  # (B,) victory margin; 0 for safety games
+    n_rounds: jax.Array  # (B,)
+    # per-seat counters (B, K)
+    n_farkles: jax.Array
+    n_rolls: jax.Array
+    n_turns: jax.Array
+    highest_turn: jax.Array
+    smart_five_uses: jax.Array
+    n_smart_five_dice: jax.Array
+    smart_one_uses: jax.Array
+    n_smart_one_dice: jax.Array
+    n_hot_dice: jax.Array
+    roll_limit_hits: jax.Array  # (B,)
+
+
+def init_state(batch: int, k: int) -> GameState:
+    """Fresh game state: seat 0 about to take its first turn of round 1."""
+    bi = (batch,)
+    bk = (batch, k)
+    zeros_bk = jnp.zeros(bk, dtype=jnp.int32)
+    n_turns = zeros_bk.at[:, 0].set(1)
+    return GameState(
+        scores=zeros_bk,
+        has_scored=jnp.zeros(bk, dtype=bool),
+        n_turns=n_turns,
+        n_farkles=zeros_bk,
+        n_rolls=zeros_bk,
+        highest_turn=zeros_bk,
+        smart_five_uses=zeros_bk,
+        n_smart_five_dice=zeros_bk,
+        smart_one_uses=zeros_bk,
+        n_smart_one_dice=zeros_bk,
+        n_hot_dice=zeros_bk,
+        turn_score=jnp.zeros(bi, dtype=jnp.int32),
+        dice_left=jnp.full(bi, 6, dtype=jnp.int32),
+        seat=jnp.zeros(bi, dtype=jnp.int32),
+        round_num=jnp.ones(bi, dtype=jnp.int32),
+        rolls_this_turn=jnp.zeros(bi, dtype=jnp.int32),
+        final_round=jnp.zeros(bi, dtype=bool),
+        score_to_beat=jnp.full(bi, DEFAULT_TARGET_SCORE, dtype=jnp.int32),
+        trigger_seat=jnp.full(bi, -1, dtype=jnp.int32),
+        done=jnp.zeros(bi, dtype=bool),
+        safety=jnp.zeros(bi, dtype=bool),
+        n_rounds=jnp.zeros(bi, dtype=jnp.int32),
+        roll_limit_hits=jnp.zeros(bi, dtype=jnp.int32),
+        step=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _thresholds_continue(turn_score, dice_left, score_threshold, dice_threshold, flags):
+    """Branchless threshold continue/bank rule (strategies.py:124 semantics)."""
+    consider_score = (flags & FLAG_CONSIDER_SCORE) != 0
+    consider_dice = (flags & FLAG_CONSIDER_DICE) != 0
+    require_both = (flags & FLAG_REQUIRE_BOTH) != 0
+    want_score = consider_score & (turn_score < score_threshold)
+    want_dice = consider_dice & (dice_left > dice_threshold)
+    both = consider_score & consider_dice
+    either = want_score | want_dice
+    both_unmet = want_score & want_dice
+    return jnp.where(both, jnp.where(require_both, either, both_unmet), either)
+
+
+def _must_bank(score_after, dice_left_after, score_threshold, dice_threshold, flags):
+    """Vectorized bank predicate over the (B, 49) candidate grid."""
+    consider_score = ((flags & FLAG_CONSIDER_SCORE) != 0)[:, None]
+    consider_dice = ((flags & FLAG_CONSIDER_DICE) != 0)[:, None]
+    require_both = ((flags & FLAG_REQUIRE_BOTH) != 0)[:, None]
+    hit_score = consider_score & (score_after >= score_threshold[:, None])
+    hit_dice = consider_dice & (dice_left_after <= dice_threshold[:, None])
+    need_both = consider_score & consider_dice & require_both
+    return jnp.where(need_both, hit_score & hit_dice, hit_score | hit_dice)
+
+
+def _smart_discards(
+    *, raw_score, raw_used, sfives, sones, roll_n, turn_score,
+    score_threshold, dice_threshold, flags,
+):
+    """Vectorized Smart-5/Smart-1 discard decision over 49 (d5, d1) candidates.
+
+    Candidate score/used follow from the identity that lone fives/ones are
+    worth exactly 50/100 and one die each (scoring.py:196-366 semantics
+    without the sequence re-enumeration; see rules/oracle.py for the proof
+    obligations, validated exhaustively in tests).
+    """
+    smart_five = (flags & FLAG_SMART_FIVE) != 0
+    smart_one = (flags & FLAG_SMART_ONE) != 0
+    favor_score = (flags & FLAG_FAVOR_SCORE) != 0
+
+    enabled = smart_five & (raw_used != roll_n) & ((sfives > 0) | (sones > 0))
+
+    max_d1 = jnp.where(smart_one, sones, 0)
+    valid = (_CAND_D5[None, :] <= sfives[:, None]) & (_CAND_D1[None, :] <= max_d1[:, None])
+    cand_score = raw_score[:, None] - 50 * _CAND_D5[None, :] - 100 * _CAND_D1[None, :]
+    valid &= cand_score > 0
+    cand_used = raw_used[:, None] - _CAND_D5[None, :] - _CAND_D1[None, :]
+    score_after = turn_score[:, None] + cand_score
+    dice_left_after = roll_n[:, None] - cand_used
+    valid &= ~_must_bank(score_after, dice_left_after, score_threshold, dice_threshold, flags)
+
+    # Lexicographic (major, minor) packed into one int32 rank. Bounds: turn
+    # scores are < ROLL_LIMIT * 3000 + 3000 < 2**22, dice_left_after <= 6.
+    rank = jnp.where(
+        favor_score[:, None],
+        score_after * 8 + dice_left_after,
+        dice_left_after * (1 << 22) + score_after,
+    )
+    rank = jnp.where(valid, rank, jnp.int32(-1))
+    best = jnp.argmax(rank, axis=1)
+    has_valid = jnp.any(valid, axis=1)
+    take = enabled & has_valid
+    d5 = jnp.where(take, _CAND_D5[best], 0)
+    d1 = jnp.where(take, _CAND_D1[best], 0)
+    return d5, d1
+
+
+def _bump_seat(arr, seat_onehot, inc, active):
+    """arr[b, seat[b]] += inc[b] where active[b] (masked scatter via one-hot)."""
+    delta = jnp.where(active, inc, 0)
+    return arr + seat_onehot * delta[:, None]
+
+
+def make_game_step(
+    *,
+    k: int,
+    target_score: int = DEFAULT_TARGET_SCORE,
+    max_rounds: int = DEFAULT_MAX_ROUNDS,
+):
+    """Build the single roll-step body for K-seat games (closure over tables)."""
+    score_table = jnp.asarray(tables.build_packed_score_table())
+    seats = jnp.arange(k, dtype=jnp.int32)
+
+    def step(
+        state: GameState,
+        seat_key_data: jax.Array,  # (B, K, 2) uint32 raw threefry key data
+        score_thresholds: jax.Array,  # (B, K) int32
+        dice_thresholds: jax.Array,  # (B, K) int32
+        flags_bk: jax.Array,  # (B, K) int32
+    ) -> GameState:
+        active = ~state.done
+        seat = state.seat
+        seat_onehot = (seats[None, :] == seat[:, None]).astype(jnp.int32)  # (B, K)
+
+        def gather_seat(arr):
+            return jnp.take_along_axis(arr, seat[:, None], axis=1)[:, 0]
+
+        st = gather_seat(score_thresholds)
+        dt = gather_seat(dice_thresholds)
+        flags = gather_seat(flags_bk)
+
+        # ---- roll --------------------------------------------------------
+        roll_n = state.dice_left
+        roll_index = gather_seat(state.n_rolls)
+        key_data = jnp.take_along_axis(
+            seat_key_data, seat[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]  # (B, 2)
+        keys = jax.random.wrap_key_data(key_data, impl="threefry2x32")
+        roll_keys = jax.vmap(jax.random.fold_in)(keys, roll_index.astype(jnp.uint32))
+        dice = jax.vmap(lambda kk: jax.random.randint(kk, (6,), 1, 7, dtype=jnp.int32))(roll_keys)
+        lane = jnp.arange(6, dtype=jnp.int32)[None, :]
+        faces = jnp.where(lane < roll_n[:, None], dice, 0)  # (B, 6)
+
+        n_rolls = _bump_seat(state.n_rolls, seat_onehot, jnp.ones_like(roll_index), active)
+        rolls_this_turn = jnp.where(active, state.rolls_this_turn + 1, state.rolls_this_turn)
+
+        # ---- score via dense table gather ---------------------------------
+        counts = (faces[:, :, None] == (lane[0][None, None, :] + 1)).sum(axis=1, dtype=jnp.int32)
+        table_idx = counts @ _RADIX
+        packed = score_table[table_idx]
+        raw_score = (packed >> tables.SCORE_SHIFT) & ((1 << tables.SCORE_BITS) - 1)
+        raw_used = (packed >> tables.USED_SHIFT) & ((1 << tables.USED_BITS) - 1)
+        sfives = (packed >> tables.SF_SHIFT) & ((1 << tables.SF_BITS) - 1)
+        sones = (packed >> tables.SO_SHIFT) & ((1 << tables.SO_BITS) - 1)
+
+        # ---- smart discards ------------------------------------------------
+        d5, d1 = _smart_discards(
+            raw_score=raw_score, raw_used=raw_used, sfives=sfives, sones=sones,
+            roll_n=roll_n, turn_score=state.turn_score,
+            score_threshold=st, dice_threshold=dt, flags=flags,
+        )
+        final_score = raw_score - 50 * d5 - 100 * d1
+        final_used = raw_used - d5 - d1
+        reroll = roll_n - final_used
+
+        bust = raw_score == 0
+        n_farkles = _bump_seat(state.n_farkles, seat_onehot, bust.astype(jnp.int32), active)
+        smart_five_uses = _bump_seat(
+            state.smart_five_uses, seat_onehot, (d5 > 0).astype(jnp.int32), active
+        )
+        n_smart_five_dice = _bump_seat(state.n_smart_five_dice, seat_onehot, d5, active)
+        smart_one_uses = _bump_seat(
+            state.smart_one_uses, seat_onehot, (d1 > 0).astype(jnp.int32), active
+        )
+        n_smart_one_dice = _bump_seat(state.n_smart_one_dice, seat_onehot, d1, active)
+
+        # hot dice: all rolled dice scored -> fresh 6 dice
+        hot = ~bust & (final_used == roll_n)
+        next_dice = jnp.where(hot, 6, reroll)
+        turn_score_new = jnp.where(bust, 0, state.turn_score + final_score)
+
+        auto_hot = (flags & FLAG_AUTO_HOT_DICE) != 0
+        auto_hot_continue = ~bust & hot & auto_hot
+        n_hot_dice = _bump_seat(
+            state.n_hot_dice, seat_onehot, auto_hot_continue.astype(jnp.int32), active
+        )
+
+        # ---- continue / bank decision --------------------------------------
+        has_scored_seat = gather_seat(state.has_scored.astype(jnp.int32)) != 0
+        banked = gather_seat(state.scores)
+        running_total = banked + turn_score_new
+        run_up = (flags & FLAG_RUN_UP_SCORE) != 0
+        beat = state.score_to_beat
+        keep = _thresholds_continue(turn_score_new, next_dice, st, dt, flags)
+        keep |= ~has_scored_seat & (turn_score_new < 500)
+        keep |= state.final_round & (running_total <= beat)
+        keep &= ~(state.final_round & (running_total > beat) & ~run_up)
+        keep |= auto_hot_continue  # hot-dice auto-reroll skips the decision
+
+        hit_roll_limit = rolls_this_turn >= ROLL_LIMIT
+        turn_end = bust | ~keep | hit_roll_limit
+        roll_limit_hits = jnp.where(
+            active & hit_roll_limit & ~bust & keep,
+            state.roll_limit_hits + 1,
+            state.roll_limit_hits,
+        )
+
+        # ---- turn-end bookkeeping ------------------------------------------
+        end = active & turn_end
+        entered = ~has_scored_seat & (turn_score_new >= 500)
+        has_scored_now = has_scored_seat | entered
+        bank_amount = jnp.where(end & has_scored_now, turn_score_new, 0)
+        scores = state.scores + seat_onehot * bank_amount[:, None]
+        has_scored = state.has_scored | (seat_onehot.astype(bool) & (end & has_scored_now)[:, None])
+        new_banked = banked + bank_amount
+        highest = jnp.maximum(
+            gather_seat(state.highest_turn),
+            jnp.where(end & has_scored_now, turn_score_new, 0),
+        )
+        highest_turn = jnp.where(
+            (seat_onehot.astype(bool)) & end[:, None], highest[:, None], state.highest_turn
+        )
+
+        # trigger: first player to reach the target starts the final round
+        triggered = end & ~state.final_round & (new_banked >= target_score)
+        final_round = state.final_round | triggered
+        trigger_seat = jnp.where(triggered, seat, state.trigger_seat)
+        # moving bar: trigger sets it; later final-round banks raise it
+        beat = jnp.where(triggered, new_banked, beat)
+        final_bank = end & state.final_round & (seat != state.trigger_seat)
+        beat = jnp.where(final_bank, jnp.maximum(beat, new_banked), beat)
+
+        # ---- seat advance ----------------------------------------------------
+        # Final round: seats 0..K-1 in order, skipping the trigger seat
+        # (engine.py:465 keeps original list order). A just-triggered game
+        # enters with a virtual seat of -1.
+        base_final = jnp.where(triggered, 0, seat + 1)
+        cand_final = base_final + (base_final == trigger_seat).astype(jnp.int32)
+        finished_final = cand_final >= k
+        # Normal round-robin
+        cand_normal = (seat + 1) % k
+        wrapped = cand_normal == 0
+        round_next = jnp.where(end & ~final_round & wrapped, state.round_num + 1, state.round_num)
+        hit_max_rounds = end & ~final_round & wrapped & (round_next > max_rounds)
+
+        next_seat = jnp.where(final_round, cand_final, cand_normal)
+        game_done = end & (jnp.where(final_round, finished_final, hit_max_rounds))
+        done = state.done | game_done
+        safety = state.safety | (game_done & ~final_round)
+        n_rounds = jnp.where(game_done, state.round_num, state.n_rounds)
+
+        # ---- next turn init / intra-turn continue ---------------------------
+        continue_turn = active & ~turn_end
+        start_next = end & ~game_done
+        next_onehot = (seats[None, :] == next_seat[:, None]).astype(jnp.int32)
+        n_turns = state.n_turns + next_onehot * start_next.astype(jnp.int32)[:, None]
+
+        seat_out = jnp.where(start_next, next_seat, seat)
+        dice_out = jnp.where(continue_turn, next_dice, 6)
+        turn_score_out = jnp.where(continue_turn, turn_score_new, 0)
+        rolls_out = jnp.where(continue_turn, rolls_this_turn, 0)
+        round_out = round_next
+
+        return GameState(
+            scores=scores,
+            has_scored=has_scored,
+            n_turns=n_turns,
+            n_farkles=n_farkles,
+            n_rolls=n_rolls,
+            highest_turn=highest_turn,
+            smart_five_uses=smart_five_uses,
+            n_smart_five_dice=n_smart_five_dice,
+            smart_one_uses=smart_one_uses,
+            n_smart_one_dice=n_smart_one_dice,
+            n_hot_dice=n_hot_dice,
+            turn_score=turn_score_out,
+            dice_left=dice_out,
+            seat=seat_out,
+            round_num=round_out,
+            rolls_this_turn=rolls_out,
+            final_round=final_round,
+            score_to_beat=beat,
+            trigger_seat=trigger_seat,
+            done=done,
+            safety=safety,
+            n_rounds=n_rounds,
+            roll_limit_hits=roll_limit_hits,
+            step=state.step + 1,
+        )
+
+    return step
+
+
+def play_games(
+    seat_key_data: jax.Array,  # (B, K, 2) uint32
+    score_thresholds: jax.Array,  # (B, K) int32
+    dice_thresholds: jax.Array,  # (B, K) int32
+    flags: jax.Array,  # (B, K) int32
+    *,
+    target_score: int = DEFAULT_TARGET_SCORE,
+    max_rounds: int = DEFAULT_MAX_ROUNDS,
+) -> GameResult:
+    """Play a full batch of K-seat games to completion. Jit-compatible.
+
+    All arguments are data; B and K are static from the array shapes.
+    """
+    batch, k = score_thresholds.shape
+    step = make_game_step(k=k, target_score=target_score, max_rounds=max_rounds)
+    # Absolute backstop: every turn ends within ROLL_LIMIT rolls and there are
+    # at most (max_rounds * k + k) turns per game.
+    max_steps = (max_rounds + 1) * k * (ROLL_LIMIT + 2)
+
+    def cond(state: GameState):
+        return jnp.any(~state.done) & (state.step < max_steps)
+
+    def body(state: GameState):
+        return step(state, seat_key_data, score_thresholds, dice_thresholds, flags)
+
+    final = jax.lax.while_loop(cond, body, init_state(batch, k))
+    return finalize(final, k=k)
+
+
+def finalize(state: GameState, *, k: int) -> GameResult:
+    """Rank seats and extract winner fields from a finished batch."""
+    scores = state.scores
+    seats = jnp.arange(k, dtype=jnp.int32)
+    # rank 1 = highest score, ties broken by earlier seat (stable sort parity
+    # with engine.py:477's `sorted(..., key=score, reverse=True)`).
+    order_key = scores * jnp.int32(k) + (jnp.int32(k) - 1 - seats)[None, :]
+    winner_seat_completed = jnp.argmax(order_key, axis=1).astype(jnp.int32)
+    # rank[b, i] = 1 + number of seats strictly better in (score, -seat) order
+    better = (scores[:, :, None] > scores[:, None, :]) | (
+        (scores[:, :, None] == scores[:, None, :]) & (seats[None, :, None] < seats[None, None, :])
+    )
+    ranks = 1 + better.sum(axis=1, dtype=jnp.int32)  # (B, K) rank of each seat
+
+    completed = ~state.safety
+    winner_seat = jnp.where(completed, winner_seat_completed, -1)
+    winning_score = jnp.where(
+        completed,
+        jnp.take_along_axis(scores, winner_seat_completed[:, None], axis=1)[:, 0],
+        0,
+    )
+    if k > 1:
+        sorted_scores = jnp.sort(scores, axis=1)
+        second = sorted_scores[:, -2]
+        # seat-order tie-break never affects the margin (scores only)
+        margin = jnp.where(completed, winning_score - second, 0)
+    else:
+        margin = jnp.where(completed, winning_score, 0)
+
+    return GameResult(
+        scores=scores,
+        ranks=ranks,
+        completed=completed,
+        winner_seat=winner_seat,
+        winning_score=winning_score,
+        margin=margin,
+        n_rounds=state.n_rounds,
+        n_farkles=state.n_farkles,
+        n_rolls=state.n_rolls,
+        n_turns=state.n_turns,
+        highest_turn=state.highest_turn,
+        smart_five_uses=state.smart_five_uses,
+        n_smart_five_dice=state.n_smart_five_dice,
+        smart_one_uses=state.smart_one_uses,
+        n_smart_one_dice=state.n_smart_one_dice,
+        n_hot_dice=state.n_hot_dice,
+        roll_limit_hits=state.roll_limit_hits,
+    )
+
+
+def seat_key_data_for_games(
+    base_key: jax.Array, game_indices: jax.Array, k: int
+) -> jax.Array:
+    """Derive (B, K, 2) uint32 seat-key data from a purpose base key.
+
+    ``base_key`` must come from :func:`farkle_ii_tpu.ops.rng.purpose_base_key`
+    (folded over scheme/purpose/root/k/shuffle/pair/order); this folds the
+    trailing ``(game_index, seat_index, replicate=0)`` coordinates.
+    """
+    from farkle_ii_tpu.ops.rng import fold_trailing
+
+    g = jnp.asarray(game_indices, dtype=jnp.uint32)[:, None]
+    s = jnp.arange(k, dtype=jnp.uint32)[None, :]
+    keys = fold_trailing(base_key, game_index=g, seat_index=s)
+    return jax.random.key_data(keys)

@@ -1,0 +1,482 @@
+"""Threshold strategy space: decision rule, grid generation, deterministic IDs.
+
+Behavioral parity targets (no code copied):
+``/root/reference/src/farkle/simulation/strategies.py:164`` (ThresholdStrategy),
+``:345`` (grid generation with constraint pruning), ``:618`` (encoder),
+``:280`` (canonical string form).
+
+A strategy is a 10-field tuple
+``(score_threshold, dice_threshold, smart_five, smart_one, consider_score,
+consider_dice, require_both, auto_hot_dice, run_up_score,
+favor_dice_or_score)`` with the invariants
+
+* ``smart_one`` requires ``smart_five``;
+* ``require_both`` requires both ``consider_score`` and ``consider_dice``.
+
+For the TPU kernel, strategies are *data*, not objects: a strategy grid is
+packed into parallel int32 arrays (:func:`pack_strategy_params`) gathered by
+strategy id on device. The continue/bank threshold rule itself lives in the
+game kernel as branchless boolean algebra.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from enum import Enum
+from functools import lru_cache
+from typing import Any, Iterable, Iterator, Mapping, Sequence
+
+import numpy as np
+
+__all__ = [
+    "FavorDiceOrScore",
+    "ThresholdStrategy",
+    "StrategyGridOptions",
+    "StrategyEncoder",
+    "StrategyParams",
+    "STRATEGY_TUPLE_FIELDS",
+    "DEFAULT_STRATEGY_GRID",
+    "STOP_AT_THRESHOLDS",
+    "build_strategy_encoder",
+    "build_strategy_grid",
+    "iter_strategy_combos",
+    "pack_strategy_params",
+    "parse_strategy",
+    "random_threshold_strategy",
+    "strategy_tuple",
+]
+
+
+class FavorDiceOrScore(Enum):
+    """Tie-break preference when choosing among smart-discard candidates."""
+
+    SCORE = "score"
+    DICE = "dice"
+
+    def __str__(self) -> str:
+        return self.value
+
+
+STRATEGY_TUPLE_FIELDS: tuple[str, ...] = (
+    "score_threshold",
+    "dice_threshold",
+    "smart_five",
+    "smart_one",
+    "consider_score",
+    "consider_dice",
+    "require_both",
+    "auto_hot_dice",
+    "run_up_score",
+    "favor_dice_or_score",
+)
+
+DEFAULT_STRATEGY_GRID: dict[str, tuple[Any, ...]] = {
+    "score_thresholds": tuple(range(200, 1400, 50)),
+    "dice_thresholds": tuple(range(0, 5)),
+    "smart_five_opts": (True, False),
+    "smart_one_opts": (True, False),
+    "consider_score_opts": (True, False),
+    "consider_dice_opts": (True, False),
+    "auto_hot_dice_opts": (False, True),
+    "run_up_score_opts": (True, False),
+}
+
+STOP_AT_THRESHOLDS: tuple[int, ...] = (350, 400, 450, 500)
+
+STRATEGY_MANIFEST_NAME = "strategy_manifest.parquet"
+
+StrategyTuple = tuple[int, int, bool, bool, bool, bool, bool, bool, bool, FavorDiceOrScore]
+
+
+@dataclass(frozen=True)
+class ThresholdStrategy:
+    """Threshold-based continue/bank rule plus smart-discard toggles.
+
+    ``decide`` semantics (used by the host oracle engine; the TPU kernel
+    re-expresses the same algebra vectorized):
+
+    * continue while ``turn_score < score_threshold`` (when considered)
+      and/or ``dice_left > dice_threshold`` (when considered);
+    * with both considered, ``require_both=True`` means *continue while
+      either target is unmet* (bank needs both thresholds hit) and
+      ``require_both=False`` means *continue only while both are unmet*.
+    """
+
+    score_threshold: int = 300
+    dice_threshold: int = 2
+    smart_five: bool = False
+    smart_one: bool = False
+    consider_score: bool = True
+    consider_dice: bool = True
+    require_both: bool = False
+    auto_hot_dice: bool = False
+    run_up_score: bool = False
+    favor_dice_or_score: FavorDiceOrScore = FavorDiceOrScore.SCORE
+    strategy_id: int | None = field(default=None, compare=False)
+
+    def __post_init__(self) -> None:
+        if self.smart_one and not self.smart_five:
+            raise ValueError("ThresholdStrategy: smart_one=True requires smart_five=True")
+        if self.require_both and not (self.consider_score and self.consider_dice):
+            raise ValueError(
+                "ThresholdStrategy: require_both=True requires consider_score and consider_dice"
+            )
+
+    def decide(
+        self,
+        *,
+        turn_score: int,
+        dice_left: int,
+        has_scored: bool,
+        score_needed: int = 0,
+        final_round: bool = False,
+        score_to_beat: int = 0,
+        running_total: int = 0,
+    ) -> bool:
+        """Return True to keep rolling, False to bank."""
+        del score_needed  # reserved for richer strategies
+        if not has_scored and turn_score < 500:
+            return True  # must cross the 500-point entry gate
+        if final_round:
+            if running_total <= score_to_beat:
+                return True  # must beat the leader; ties don't win
+            if not self.run_up_score:
+                return False
+        want_score = self.consider_score and turn_score < self.score_threshold
+        want_dice = self.consider_dice and dice_left > self.dice_threshold
+        if self.consider_score and self.consider_dice:
+            return (want_score or want_dice) if self.require_both else (want_score and want_dice)
+        if self.consider_score:
+            return want_score
+        if self.consider_dice:
+            return want_dice
+        return False
+
+    def __str__(self) -> str:
+        cs = "S" if self.consider_score else "-"
+        cd = "D" if self.consider_dice else "-"
+        sf = "F" if self.smart_five else "-"
+        so = "O" if self.smart_one else "-"
+        rb = "AND" if self.require_both else "OR"
+        hd = "H" if self.auto_hot_dice else "-"
+        rs = "R" if self.run_up_score else "-"
+        fs = "FS" if self.favor_dice_or_score is FavorDiceOrScore.SCORE else "FD"
+        return (
+            f"Strat({self.score_threshold},{self.dice_threshold})"
+            f"[{cs}{cd}][{sf}{so}{fs}][{rb}][{hd}{rs}]"
+        )
+
+
+def strategy_tuple(strategy: ThresholdStrategy) -> StrategyTuple:
+    """Canonical 10-field tuple representation."""
+    return tuple(getattr(strategy, f) for f in STRATEGY_TUPLE_FIELDS)  # type: ignore[return-value]
+
+
+def strategy_from_tuple(combo: StrategyTuple, strategy_id: int | None = None) -> ThresholdStrategy:
+    """Inverse of :func:`strategy_tuple`."""
+    attrs = dict(zip(STRATEGY_TUPLE_FIELDS, combo, strict=True))
+    return ThresholdStrategy(**attrs, strategy_id=strategy_id)
+
+
+def _favor_options(sf: bool, cs: bool, cd: bool) -> tuple[FavorDiceOrScore, ...]:
+    """Valid favor choices for a flag combination (grid pruning rule)."""
+    if cs and cd:
+        return (FavorDiceOrScore.SCORE, FavorDiceOrScore.DICE) if sf else (FavorDiceOrScore.SCORE,)
+    if cs:
+        return (FavorDiceOrScore.SCORE,)
+    if cd:
+        return (FavorDiceOrScore.DICE,)
+    return (FavorDiceOrScore.SCORE,)
+
+
+def iter_strategy_combos(
+    *,
+    score_thresholds: Sequence[int],
+    dice_thresholds: Sequence[int],
+    smart_five_opts: Sequence[bool],
+    smart_one_opts: Sequence[bool],
+    consider_score_opts: Sequence[bool],
+    consider_dice_opts: Sequence[bool],
+    auto_hot_dice_opts: Sequence[bool],
+    run_up_score_opts: Sequence[bool],
+    inactive_score_threshold: int,
+    inactive_dice_threshold: int,
+    allowed_smart_pairs: set[tuple[bool, bool]] | None = None,
+) -> Iterator[StrategyTuple]:
+    """Enumerate strategy tuples with constraint pruning, deterministic order.
+
+    Inactive thresholds collapse to the sentinel value (``min - 1``) so a
+    disabled consideration contributes exactly one grid point. ``require_both``
+    varies only when both considerations are enabled; favor choices follow
+    :func:`_favor_options`. The enumeration order *is* the strategy-id
+    assignment, so it is part of the determinism contract.
+    """
+    for sf in smart_five_opts:
+        smart_one_candidates = [
+            so
+            for so in smart_one_opts
+            if (sf or not so) and (allowed_smart_pairs is None or (sf, so) in allowed_smart_pairs)
+        ]
+        if not smart_one_candidates:
+            continue
+        for so in smart_one_candidates:
+            for cs in consider_score_opts:
+                score_values = score_thresholds if cs else [inactive_score_threshold]
+                for cd in consider_dice_opts:
+                    dice_values = dice_thresholds if cd else [inactive_dice_threshold]
+                    rb_values = [True, False] if (cs and cd) else [False]
+                    favor_choices = _favor_options(sf, cs, cd)
+                    for st in score_values:
+                        for dt in dice_values:
+                            for hd in auto_hot_dice_opts:
+                                for rs in run_up_score_opts:
+                                    for rb in rb_values:
+                                        for fv in favor_choices:
+                                            yield (
+                                                int(st),
+                                                int(dt),
+                                                bool(sf),
+                                                bool(so),
+                                                bool(cs),
+                                                bool(cd),
+                                                bool(rb),
+                                                bool(hd),
+                                                bool(rs),
+                                                fv,
+                                            )
+
+
+@dataclass(frozen=True)
+class StrategyGridOptions:
+    """Normalized, immutable grid option bundle."""
+
+    score_thresholds: tuple[int, ...]
+    dice_thresholds: tuple[int, ...]
+    smart_five_opts: tuple[bool, ...]
+    smart_one_opts: tuple[bool, ...]
+    consider_score_opts: tuple[bool, ...]
+    consider_dice_opts: tuple[bool, ...]
+    auto_hot_dice_opts: tuple[bool, ...]
+    run_up_score_opts: tuple[bool, ...]
+
+    @property
+    def inactive_score_threshold(self) -> int:
+        return min(self.score_thresholds) - 1
+
+    @property
+    def inactive_dice_threshold(self) -> int:
+        return min(self.dice_thresholds) - 1
+
+    @classmethod
+    def from_inputs(
+        cls,
+        *,
+        score_thresholds: Sequence[int] | None = None,
+        dice_thresholds: Sequence[int] | None = None,
+        smart_five_opts: Sequence[bool] | None = None,
+        smart_one_opts: Sequence[bool] | None = None,
+        consider_score_opts: Sequence[bool] | None = None,
+        consider_dice_opts: Sequence[bool] | None = None,
+        auto_hot_dice_opts: Sequence[bool] | None = None,
+        run_up_score_opts: Sequence[bool] | None = None,
+    ) -> "StrategyGridOptions":
+        def norm(values: Sequence[Any] | None, default_key: str) -> tuple[Any, ...]:
+            if values is None:
+                return DEFAULT_STRATEGY_GRID[default_key]
+            values_t = tuple(values)
+            if not isinstance(values, tuple):
+                # stabilize configured ordering so strategy ids stay deterministic
+                try:
+                    return tuple(sorted(values_t))
+                except TypeError:
+                    return values_t
+            return values_t
+
+        return cls(
+            score_thresholds=norm(score_thresholds, "score_thresholds"),
+            dice_thresholds=norm(dice_thresholds, "dice_thresholds"),
+            smart_five_opts=norm(smart_five_opts, "smart_five_opts"),
+            smart_one_opts=norm(smart_one_opts, "smart_one_opts"),
+            consider_score_opts=norm(consider_score_opts, "consider_score_opts"),
+            consider_dice_opts=norm(consider_dice_opts, "consider_dice_opts"),
+            auto_hot_dice_opts=norm(auto_hot_dice_opts, "auto_hot_dice_opts"),
+            run_up_score_opts=norm(run_up_score_opts, "run_up_score_opts"),
+        )
+
+
+@dataclass(frozen=True)
+class StrategyEncoder:
+    """Deterministic strategy-tuple <-> integer-id bijection for one grid."""
+
+    options: StrategyGridOptions
+    tuples: tuple[StrategyTuple, ...]
+    tuple_to_id: Mapping[StrategyTuple, int]
+
+    def __len__(self) -> int:
+        return len(self.tuples)
+
+    def encode_tuple(self, combo: StrategyTuple) -> int:
+        return int(self.tuple_to_id[combo])
+
+    def encode_strategy(self, strategy: ThresholdStrategy) -> int:
+        return self.encode_tuple(strategy_tuple(strategy))
+
+    def decode_id(self, strategy_id: int) -> dict[str, Any]:
+        combo = self.tuples[int(strategy_id)]
+        return dict(zip(STRATEGY_TUPLE_FIELDS, combo, strict=True))
+
+    def strategies(self) -> list[ThresholdStrategy]:
+        """Materialize the full grid with ids assigned."""
+        return [strategy_from_tuple(c, strategy_id=i) for i, c in enumerate(self.tuples)]
+
+
+@lru_cache(maxsize=None)
+def _build_encoder_cached(options: StrategyGridOptions) -> StrategyEncoder:
+    tuples: list[StrategyTuple] = []
+    tuple_to_id: dict[StrategyTuple, int] = {}
+    for combo in iter_strategy_combos(
+        score_thresholds=options.score_thresholds,
+        dice_thresholds=options.dice_thresholds,
+        smart_five_opts=options.smart_five_opts,
+        smart_one_opts=options.smart_one_opts,
+        consider_score_opts=options.consider_score_opts,
+        consider_dice_opts=options.consider_dice_opts,
+        auto_hot_dice_opts=options.auto_hot_dice_opts,
+        run_up_score_opts=options.run_up_score_opts,
+        inactive_score_threshold=options.inactive_score_threshold,
+        inactive_dice_threshold=options.inactive_dice_threshold,
+    ):
+        if combo not in tuple_to_id:
+            tuple_to_id[combo] = len(tuples)
+            tuples.append(combo)
+    return StrategyEncoder(options=options, tuples=tuple(tuples), tuple_to_id=tuple_to_id)
+
+
+def build_strategy_encoder(**kwargs: Any) -> StrategyEncoder:
+    """Build (cached) the deterministic encoder for the given grid options."""
+    return _build_encoder_cached(StrategyGridOptions.from_inputs(**kwargs))
+
+
+def build_strategy_grid(**kwargs: Any) -> list[ThresholdStrategy]:
+    """Materialize the deterministic strategy grid with ids assigned."""
+    return build_strategy_encoder(**kwargs).strategies()
+
+
+# ---------------------------------------------------------------------------
+# Device-side parameter packing
+# ---------------------------------------------------------------------------
+
+# Flag bit positions inside the packed int32 flags word.
+FLAG_SMART_FIVE = 1 << 0
+FLAG_SMART_ONE = 1 << 1
+FLAG_CONSIDER_SCORE = 1 << 2
+FLAG_CONSIDER_DICE = 1 << 3
+FLAG_REQUIRE_BOTH = 1 << 4
+FLAG_AUTO_HOT_DICE = 1 << 5
+FLAG_RUN_UP_SCORE = 1 << 6
+FLAG_FAVOR_SCORE = 1 << 7
+
+
+@dataclass(frozen=True)
+class StrategyParams:
+    """Struct-of-arrays strategy parameters for device gather by strategy id."""
+
+    score_threshold: np.ndarray  # (S,) int32
+    dice_threshold: np.ndarray  # (S,) int32
+    flags: np.ndarray  # (S,) int32 packed flag bits
+
+    def __len__(self) -> int:
+        return int(self.score_threshold.shape[0])
+
+
+def pack_strategy_params(strategies: Sequence[ThresholdStrategy]) -> StrategyParams:
+    """Pack a strategy list into parallel int32 arrays indexed by position."""
+    n = len(strategies)
+    st = np.zeros(n, dtype=np.int32)
+    dt = np.zeros(n, dtype=np.int32)
+    flags = np.zeros(n, dtype=np.int32)
+    for i, s in enumerate(strategies):
+        st[i] = s.score_threshold
+        dt[i] = s.dice_threshold
+        f = 0
+        if s.smart_five:
+            f |= FLAG_SMART_FIVE
+        if s.smart_one:
+            f |= FLAG_SMART_ONE
+        if s.consider_score:
+            f |= FLAG_CONSIDER_SCORE
+        if s.consider_dice:
+            f |= FLAG_CONSIDER_DICE
+        if s.require_both:
+            f |= FLAG_REQUIRE_BOTH
+        if s.auto_hot_dice:
+            f |= FLAG_AUTO_HOT_DICE
+        if s.run_up_score:
+            f |= FLAG_RUN_UP_SCORE
+        if s.favor_dice_or_score is FavorDiceOrScore.SCORE:
+            f |= FLAG_FAVOR_SCORE
+        flags[i] = f
+    return StrategyParams(score_threshold=st, dice_threshold=dt, flags=flags)
+
+
+# ---------------------------------------------------------------------------
+# Parsing / misc
+# ---------------------------------------------------------------------------
+
+_STRAT_RE = re.compile(
+    r"""
+    \A
+    Strat\(\s*(?P<score>-?\d+)\s*,\s*(?P<dice>-?\d+)\s*\)
+    \[ (?P<cs>[S\-])(?P<cd>[D\-]) \]
+    \[ (?P<sf>[F\-])(?P<so>[O\-])(?P<fs>FS|FD) \]
+    \[ (?P<rb>AND|OR) \]
+    \[ (?P<hd>[H\-])(?P<rs>[R\-]) \]
+    \Z
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_strategy(s: str) -> ThresholdStrategy:
+    """Parse a canonical strategy string back into a ThresholdStrategy."""
+    m = _STRAT_RE.match(s)
+    if not m:
+        raise ValueError(f"Cannot parse strategy string: {s!r}")
+    return ThresholdStrategy(
+        score_threshold=int(m.group("score")),
+        dice_threshold=int(m.group("dice")),
+        smart_five=m.group("sf") == "F",
+        smart_one=m.group("so") == "O",
+        consider_score=m.group("cs") == "S",
+        consider_dice=m.group("cd") == "D",
+        require_both=m.group("rb") == "AND",
+        auto_hot_dice=m.group("hd") == "H",
+        run_up_score=m.group("rs") == "R",
+        favor_dice_or_score=(
+            FavorDiceOrScore.SCORE if m.group("fs") == "FS" else FavorDiceOrScore.DICE
+        ),
+    )
+
+
+def random_threshold_strategy(rng: np.random.Generator) -> ThresholdStrategy:
+    """Sample a random strategy consistent with the invariants (for time/watch)."""
+    sf = bool(rng.integers(0, 2))
+    so = bool(rng.integers(0, 2)) if sf else False
+    cs = bool(rng.integers(0, 2))
+    cd = bool(rng.integers(0, 2))
+    rb = bool(rng.integers(0, 2)) if (cs and cd) else False
+    if cs == cd:
+        fv = FavorDiceOrScore.SCORE if int(rng.integers(0, 2)) == 0 else FavorDiceOrScore.DICE
+    else:
+        fv = FavorDiceOrScore.SCORE if cs else FavorDiceOrScore.DICE
+    return ThresholdStrategy(
+        score_threshold=int(rng.integers(1, 20)) * 50,
+        dice_threshold=int(rng.integers(0, 5)),
+        smart_five=sf,
+        smart_one=so,
+        consider_score=cs,
+        consider_dice=cd,
+        require_both=rb,
+        favor_dice_or_score=fv,
+    )

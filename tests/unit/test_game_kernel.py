@@ -1,0 +1,141 @@
+"""Lockstep validation: the batched TPU kernel vs the host oracle engine.
+
+Both consume the exact same per-(game, seat, roll) threefry dice streams, so
+every score, counter, rank and outcome must match *exactly* — this is the
+strongest correctness statement available for the vectorized rewrite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from farkle_ii_tpu.ops import game_kernel as gk
+from farkle_ii_tpu.ops import rng
+from farkle_ii_tpu.rules.engine_host import HostGame
+from farkle_ii_tpu.simulation import strategies as S
+
+
+MAX_ROLLS = 1024
+
+
+@jax.jit
+def _all_dice(seat_key_data):
+    """Precompute dice for every (game, seat, roll_index) in one XLA call."""
+
+    def per_key(kd):
+        key = jax.random.wrap_key_data(kd, impl="threefry2x32")
+
+        def per_roll(r):
+            return jax.random.randint(
+                jax.random.fold_in(key, r), (6,), 1, 7, dtype=jnp.int32
+            )
+
+        return jax.vmap(per_roll)(jnp.arange(MAX_ROLLS, dtype=jnp.uint32))
+
+    b, k, _ = seat_key_data.shape
+    flat = seat_key_data.reshape(b * k, 2)
+    return jax.vmap(per_key)(flat).reshape(b, k, MAX_ROLLS, 6)
+
+
+def make_dice_source(dice_row):
+    """Host dice source replaying the kernel's precomputed streams."""
+
+    def source(seat, roll_index, n):
+        assert roll_index < MAX_ROLLS
+        return [int(x) for x in dice_row[seat, roll_index, :n]]
+
+    return source
+
+
+def run_lockstep(k, n_games, seed, strategy_pool, target_score=10_000, max_rounds=200):
+    rng_np = np.random.default_rng(seed)
+    strat_ids = rng_np.integers(0, len(strategy_pool), size=(n_games, k))
+    strats = [[strategy_pool[int(strat_ids[g, s])] for s in range(k)] for g in range(n_games)]
+    params = S.pack_strategy_params(
+        [strategy_pool[int(i)] for i in strat_ids.reshape(-1)]
+    )
+    st = jnp.asarray(params.score_threshold.reshape(n_games, k))
+    dt = jnp.asarray(params.dice_threshold.reshape(n_games, k))
+    fl = jnp.asarray(params.flags.reshape(n_games, k))
+
+    base = rng.purpose_base_key(
+        rng.RandomPurpose.TOURNAMENT_PLAYER, root_seed=seed, k=k, shuffle_index=0
+    )
+    key_data = gk.seat_key_data_for_games(base, jnp.arange(n_games), k)
+
+    result = jax.jit(
+        lambda kd, a, b, c: gk.play_games(
+            kd, a, b, c, target_score=target_score, max_rounds=max_rounds
+        )
+    )(key_data, st, dt, fl)
+    result = jax.tree.map(np.asarray, result)
+
+    all_dice = np.asarray(_all_dice(key_data))
+    for g in range(n_games):
+        host = HostGame(
+            strats[g],
+            make_dice_source(all_dice[g]),
+            target_score=target_score,
+            max_rounds=max_rounds,
+        ).play()
+
+        ctx = f"game {g} strategies {[str(s) for s in strats[g]]}"
+        assert bool(result.completed[g]) == host.completed, ctx
+        if host.completed:
+            assert int(result.winner_seat[g]) == host.winner_seat, ctx
+            assert int(result.winning_score[g]) == host.winning_score, ctx
+            assert int(result.margin[g]) == host.margin, ctx
+            assert list(result.ranks[g]) == host.ranks, ctx
+        assert int(result.n_rounds[g]) == host.n_rounds, ctx
+        for s in range(k):
+            hp = host.players[s]
+            sctx = f"{ctx} seat {s}"
+            assert int(result.scores[g, s]) == hp.score, sctx
+            assert int(result.n_turns[g, s]) == hp.n_turns, sctx
+            assert int(result.n_rolls[g, s]) == hp.n_rolls, sctx
+            assert int(result.n_farkles[g, s]) == hp.n_farkles, sctx
+            assert int(result.highest_turn[g, s]) == hp.highest_turn, sctx
+            assert int(result.smart_five_uses[g, s]) == hp.smart_five_uses, sctx
+            assert int(result.n_smart_five_dice[g, s]) == hp.n_smart_five_dice, sctx
+            assert int(result.smart_one_uses[g, s]) == hp.smart_one_uses, sctx
+            assert int(result.n_smart_one_dice[g, s]) == hp.n_smart_one_dice, sctx
+            assert int(result.n_hot_dice[g, s]) == hp.n_hot_dice, sctx
+        assert int(result.roll_limit_hits[g]) == host.roll_limit_hits, ctx
+
+
+@pytest.fixture(scope="module")
+def diverse_pool():
+    """A strategy pool covering every flag combination class."""
+    pool = S.build_strategy_grid(
+        score_thresholds=(200, 300, 500), dice_thresholds=(0, 2, 4)
+    )
+    # thin it out but keep full flag diversity (every 7th + extremes)
+    return pool[::7] + [pool[0], pool[-1]]
+
+
+def test_lockstep_2p(diverse_pool):
+    run_lockstep(k=2, n_games=40, seed=101, strategy_pool=diverse_pool)
+
+
+def test_lockstep_5p(diverse_pool):
+    run_lockstep(k=5, n_games=16, seed=202, strategy_pool=diverse_pool)
+
+
+def test_lockstep_1p(diverse_pool):
+    run_lockstep(k=1, n_games=10, seed=303, strategy_pool=diverse_pool)
+
+
+def test_lockstep_safety_limit(diverse_pool):
+    # tiny max_rounds forces safety-limit outcomes through both engines
+    run_lockstep(
+        k=3, n_games=12, seed=404, strategy_pool=diverse_pool,
+        target_score=100_000, max_rounds=3,
+    )
+
+
+def test_lockstep_low_target_final_round(diverse_pool):
+    # low target exercises trigger + final-round catch-up heavily
+    run_lockstep(
+        k=4, n_games=16, seed=505, strategy_pool=diverse_pool, target_score=1_000
+    )
