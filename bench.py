@@ -1,0 +1,80 @@
+"""Headline benchmark: simulated tournament games/sec on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference CPU framework sustains ~4,366.6
+games/sec end-to-end on a 16-worker desktop for the full mega-config
+tournament. This benchmark plays the same workload shape — the default
+5,160-strategy grid, contiguously seated per on-device shuffle permutation,
+full rule set (smart discards, hot dice, final round, safety limits) — and
+reports steady-state completed-game throughput on the attached accelerator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from farkle_ii_tpu.simulation import strategies as S
+from farkle_ii_tpu.simulation import tournament as T
+
+BASELINE_GAMES_PER_SEC = 4366.6
+
+
+def main() -> None:
+    platform = jax.devices()[0].platform
+    grid = S.build_strategy_grid()  # default 5,160-strategy grid
+    params_np = S.pack_strategy_params(grid)
+    params = (
+        jnp.asarray(params_np.score_threshold),
+        jnp.asarray(params_np.dice_threshold),
+        jnp.asarray(params_np.flags),
+    )
+    k = 5
+    spec = T.TournamentSpec(root_seed=42, k=k, n_strategies=len(grid))
+    # shuffles per step: sized so one step is ~200k games on an accelerator
+    ns = 192 if platform != "cpu" else 2
+    games_per_step = ns * spec.games_per_shuffle
+
+    from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+    step = cached_compile(
+        lambda params, sh: T.play_and_aggregate(spec, params, sh),
+        params,
+        jnp.arange(ns, dtype=jnp.uint32),
+        extra_key=f"bench-k{k}-ns{ns}",
+    )
+    step = lambda sh, _s=step: _s(params, sh)  # noqa: E731
+
+    # warmup
+    agg = step(jnp.arange(ns, dtype=jnp.uint32))
+    jax.block_until_ready(agg)
+
+    # timed steady-state
+    n_steps = 6 if platform != "cpu" else 2
+    start = time.perf_counter()
+    total_games = 0
+    for i in range(n_steps):
+        agg = step(jnp.arange(ns * (i + 1), ns * (i + 2), dtype=jnp.uint32))
+        total_games += games_per_step
+    jax.block_until_ready(agg)
+    elapsed = time.perf_counter() - start
+
+    games_per_sec = total_games / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "tournament_games_per_sec",
+                "value": round(games_per_sec, 1),
+                "unit": "games/s",
+                "vs_baseline": round(games_per_sec / BASELINE_GAMES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

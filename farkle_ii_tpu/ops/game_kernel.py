@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from farkle_ii_tpu.rules import tables
+from farkle_ii_tpu.ops.scoring import faces_to_counts_vec, score_counts_vec
+from farkle_ii_tpu.ops.threefry import roll_dice
 
 ROLL_LIMIT = 1000
 DEFAULT_TARGET_SCORE = 10_000
@@ -58,13 +59,12 @@ FLAG_AUTO_HOT_DICE = 1 << 5
 FLAG_RUN_UP_SCORE = 1 << 6
 FLAG_FAVOR_SCORE = 1 << 7
 
-_RADIX = jnp.array([7**i for i in range(6)], dtype=jnp.int32)
-
-# 49 smart-discard candidates: d5 outer 0..6, d1 inner 0..6 (enumeration
-# order matches the oracle; selection is order-independent because candidate
-# keys are provably unique).
-_CAND_D5 = jnp.arange(49, dtype=jnp.int32) // 7
-_CAND_D1 = jnp.arange(49, dtype=jnp.int32) % 7
+# 9 smart-discard candidates: d5 outer 0..2, d1 inner 0..2. Lone fives/ones
+# are provably <= 2 each (three or more of a face form a set), so 3x3 covers
+# the whole candidate space. Selection is order-independent because candidate
+# keys are provably unique.
+_CAND_D5 = jnp.arange(9, dtype=jnp.int32) // 3
+_CAND_D1 = jnp.arange(9, dtype=jnp.int32) % 3
 
 
 class GameState(NamedTuple):
@@ -233,8 +233,13 @@ def make_game_step(
     target_score: int = DEFAULT_TARGET_SCORE,
     max_rounds: int = DEFAULT_MAX_ROUNDS,
 ):
-    """Build the single roll-step body for K-seat games (closure over tables)."""
-    score_table = jnp.asarray(tables.build_packed_score_table())
+    """Build the single roll-step body for K-seat games.
+
+    Performance notes: the body deliberately contains *no* dynamic gathers —
+    per-seat reads are one-hot dot products over the tiny K axis and scoring
+    is branchless vector math (ops/scoring.py) — because TPU dynamic gathers
+    were measured ~100x slower than the equivalent VPU arithmetic.
+    """
     seats = jnp.arange(k, dtype=jnp.int32)
 
     def step(
@@ -249,7 +254,7 @@ def make_game_step(
         seat_onehot = (seats[None, :] == seat[:, None]).astype(jnp.int32)  # (B, K)
 
         def gather_seat(arr):
-            return jnp.take_along_axis(arr, seat[:, None], axis=1)[:, 0]
+            return (arr * seat_onehot).sum(axis=1)
 
         st = gather_seat(score_thresholds)
         dt = gather_seat(dice_thresholds)
@@ -258,26 +263,19 @@ def make_game_step(
         # ---- roll --------------------------------------------------------
         roll_n = state.dice_left
         roll_index = gather_seat(state.n_rolls)
-        key_data = jnp.take_along_axis(
-            seat_key_data, seat[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0, :]  # (B, 2)
-        keys = jax.random.wrap_key_data(key_data, impl="threefry2x32")
-        roll_keys = jax.vmap(jax.random.fold_in)(keys, roll_index.astype(jnp.uint32))
-        dice = jax.vmap(lambda kk: jax.random.randint(kk, (6,), 1, 7, dtype=jnp.int32))(roll_keys)
+        key_data = (seat_key_data * seat_onehot[:, :, None].astype(jnp.uint32)).sum(
+            axis=1
+        )  # (B, 2)
+        dice = roll_dice(key_data[:, 0], key_data[:, 1], roll_index)  # (B, 6)
         lane = jnp.arange(6, dtype=jnp.int32)[None, :]
         faces = jnp.where(lane < roll_n[:, None], dice, 0)  # (B, 6)
 
         n_rolls = _bump_seat(state.n_rolls, seat_onehot, jnp.ones_like(roll_index), active)
         rolls_this_turn = jnp.where(active, state.rolls_this_turn + 1, state.rolls_this_turn)
 
-        # ---- score via dense table gather ---------------------------------
-        counts = (faces[:, :, None] == (lane[0][None, None, :] + 1)).sum(axis=1, dtype=jnp.int32)
-        table_idx = counts @ _RADIX
-        packed = score_table[table_idx]
-        raw_score = (packed >> tables.SCORE_SHIFT) & ((1 << tables.SCORE_BITS) - 1)
-        raw_used = (packed >> tables.USED_SHIFT) & ((1 << tables.USED_BITS) - 1)
-        sfives = (packed >> tables.SF_SHIFT) & ((1 << tables.SF_BITS) - 1)
-        sones = (packed >> tables.SO_SHIFT) & ((1 << tables.SO_BITS) - 1)
+        # ---- score (branchless, no table) ---------------------------------
+        counts = faces_to_counts_vec(faces)
+        raw_score, raw_used, sfives, sones = score_counts_vec(counts)
 
         # ---- smart discards ------------------------------------------------
         d5, d1 = _smart_discards(

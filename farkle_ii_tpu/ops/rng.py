@@ -199,6 +199,61 @@ def fold_trailing(
     return flat.reshape(shape)
 
 
+def scheme_purpose_key(purpose: RandomPurpose | int) -> jax.Array:
+    """Key folded over ``(scheme, purpose)`` only — prefix for vectorized use."""
+    try:
+        namespace = RandomPurpose(int(purpose))
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"unregistered RNG purpose namespace: {purpose!r}") from exc
+    key = jax.random.key(RNG_SCHEME_VERSION)
+    return jax.random.fold_in(key, int(namespace))
+
+
+def vector_coordinate_keys(
+    purpose: RandomPurpose | int,
+    *,
+    root_seed: int,
+    k: int = 0,
+    shuffle_index: jax.Array | int = 0,
+    pair_id: jax.Array | int = 0,
+    order: jax.Array | int = 0,
+    game_index: jax.Array | int = 0,
+    seat_index: jax.Array | int = 0,
+    replicate_index: jax.Array | int = 0,
+) -> jax.Array:
+    """Traceable, broadcast-vectorized :func:`coordinate_key`.
+
+    ``root_seed`` and ``k`` are host ints (folded losslessly as two words);
+    the remaining coordinates may be JAX arrays (assumed < 2**32, true for
+    every index coordinate) and are broadcast together. Returns a key array of
+    the broadcast shape, chain-identical to :func:`coordinate_key` at each
+    coordinate tuple.
+    """
+    key = scheme_purpose_key(purpose)
+    for value in (root_seed, k):
+        v = _validate_coordinate(value, "root_seed/k")
+        key = jax.random.fold_in(key, v & MAX_UINT32)
+        key = jax.random.fold_in(key, v >> 32)
+
+    arrays = [
+        jnp.asarray(x, dtype=jnp.uint32)
+        for x in (shuffle_index, pair_id, order, game_index, seat_index, replicate_index)
+    ]
+    shape = jnp.broadcast_shapes(*(a.shape for a in arrays))
+
+    def _fold(kk, coords):
+        for value in coords:
+            kk = jax.random.fold_in(kk, value)
+            kk = jax.random.fold_in(kk, 0)
+        return kk
+
+    if shape == ():
+        return _fold(key, arrays)
+    flat = [jnp.broadcast_to(a, shape).reshape(-1) for a in arrays]
+    keys = jax.vmap(lambda *cs: _fold(key, cs))(*flat)
+    return keys.reshape(shape)
+
+
 def tournament_player_key(
     *, root_seed: int, k: int, shuffle_index: int, game_index: int, seat_index: int
 ) -> jax.Array:

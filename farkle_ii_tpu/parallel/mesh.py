@@ -1,0 +1,92 @@
+"""Device-mesh scale-out for tournament execution.
+
+The reference's main parallel axis is an embarrassingly-parallel shuffle
+fan-out over a process pool with pickled counter reduction
+(``/root/reference/src/farkle/simulation/run_tournament.py:1337``,
+``utils/parallel.py:158``). The TPU-native equivalent implemented here:
+
+* a 1-D ``jax.sharding.Mesh`` over all chips, axis ``"shuffles"``;
+* ``shard_map`` splits a batch of shuffle coordinates across devices — each
+  chip plays its shuffles' full game batch locally through the fused
+  play+aggregate program;
+* per-strategy partial aggregates are reduced with ``psum`` over ICI, giving
+  replicated exact int32 partials that the host absorbs into int64.
+
+Because game coordinates are semantic (never derived from device placement),
+any device count produces identical results — the mesh analogue of the
+reference's "changing worker counts never changes results" contract
+(docs/turn_and_row_contract.md:29-31).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from farkle_ii_tpu.simulation.tournament import (
+    TournamentAggregates,
+    TournamentSpec,
+    play_and_aggregate,
+)
+
+SHUFFLE_AXIS = "shuffles"
+
+
+def make_mesh(n_devices: int | None = None, *, backend: str | None = None) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` (default: all).
+
+    If the default backend has too few devices, falls back to the ``cpu``
+    backend, which honours ``--xla_force_host_platform_device_count`` — this
+    lets multi-chip code paths run on virtual CPU devices without touching
+    global jax config.
+    """
+    devices = jax.devices(backend) if backend else jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices) and backend is None:
+            devices = jax.devices("cpu")
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (SHUFFLE_AXIS,))
+
+
+def sharded_play_and_aggregate(spec: TournamentSpec, mesh: Mesh):
+    """Build the jitted multi-chip tournament step for ``spec`` on ``mesh``.
+
+    Returns a function ``(params, shuffle_indices) -> TournamentAggregates``
+    where ``shuffle_indices`` has length divisible by the mesh size; each
+    device plays ``NS / n_devices`` whole shuffles and partial per-strategy
+    aggregates ride ICI via ``psum``.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(SHUFFLE_AXIS)),
+        out_specs=P(),
+        # the game-kernel while_loop initializes its carry from constants
+        # (unvarying) while the body output varies over the shuffle axis;
+        # skip the varying-manual-axes check rather than pvary-ing a
+        # 24-leaf carry.
+        check_vma=False,
+    )
+    def run(st, dt, fl, shuffles_local) -> TournamentAggregates:
+        agg = play_and_aggregate(spec, (st, dt, fl), shuffles_local)
+        return jax.tree.map(lambda x: jax.lax.psum(x, SHUFFLE_AXIS), agg)
+
+    def step(params, shuffle_indices) -> TournamentAggregates:
+        st, dt, fl = params
+        n_dev = mesh.devices.size
+        if len(shuffle_indices) % n_dev != 0:
+            raise ValueError(
+                f"shuffle batch of {len(shuffle_indices)} not divisible by "
+                f"{n_dev} devices"
+            )
+        return run(st, dt, fl, shuffle_indices)
+
+    return jax.jit(step)

@@ -1,0 +1,378 @@
+"""Tournament batch execution: shuffle permutations + on-device aggregation.
+
+TPU-native re-design of the reference tournament hot path
+(``/root/reference/src/farkle/simulation/run_tournament.py:287`` per-shuffle
+loop → per-game Python engine). Here a *batch of whole shuffles* is played as
+one fused XLA program:
+
+1. per-shuffle strategy permutations are generated on device from their
+   semantic coordinate (namespace 101), then split contiguously into
+   ``n_strategies / k`` tables — same seating rule as the reference;
+2. every game in the batch derives its per-seat dice streams from
+   ``(root, k, shuffle, game, seat)`` coordinates (namespace 103);
+3. the whole batch advances through the game kernel's single while_loop;
+4. results are reduced on device into per-strategy win counts, outcome
+   exposures, and winner-metric sums via ``segment_sum`` — the TPU analogue
+   of the reference's pickled ``OutcomeCounter`` absorption.
+
+Square sums are accumulated exactly: each metric value ``v < 2**22`` is split
+as ``v = hi * 2**12 + lo`` and three int32 segment sums (``hi^2``, ``hi*lo``,
+``lo^2``) are carried per batch, recombined into int64 on the host. This keeps
+all device math in int32 (TPU-friendly) with zero floating-point error; the
+int32 headroom bounds one device batch to ``MAX_SHUFFLES_PER_BATCH`` shuffles.
+
+Aggregates are additive across batches, devices, and resume boundaries, so
+deterministic-batch recovery reduces to summing per-block int64 arrays in any
+order — a strictly stronger exactly-once story than the reference's
+order-sensitive float absorption.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from farkle_ii_tpu.ops import game_kernel as gk
+from farkle_ii_tpu.ops import rng
+from farkle_ii_tpu.simulation.strategies import StrategyParams
+
+# Per-winning-strategy metric fields, order-compatible with the reference
+# (run_tournament.py:98-110).
+METRIC_LABELS: tuple[str, ...] = (
+    "winning_score",
+    "n_rounds",
+    "winner_farkles",
+    "winner_rolls",
+    "winner_highest_turn",
+    "winner_smart_five_uses",
+    "winner_n_smart_five_dice",
+    "winner_smart_one_uses",
+    "winner_n_smart_one_dice",
+    "winner_hot_dice",
+    "winner_hit_max_rounds",
+)
+N_METRICS = len(METRIC_LABELS)
+
+# int32-exactness bound for the split-limb square sums (see module docstring).
+MAX_SHUFFLES_PER_BATCH = 128
+
+_SPLIT = 1 << 12  # limb split for exact squares; metric values are < 2**22
+
+
+@dataclass(frozen=True)
+class TournamentSpec:
+    """Static description of one (root_seed, k) tournament cell."""
+
+    root_seed: int
+    k: int
+    n_strategies: int
+    target_score: int = 10_000
+    max_rounds: int = 200
+
+    def __post_init__(self) -> None:
+        if self.n_strategies % self.k != 0:
+            raise ValueError(
+                f"n_strategies={self.n_strategies} must be divisible by k={self.k}"
+            )
+
+    @property
+    def games_per_shuffle(self) -> int:
+        return self.n_strategies // self.k
+
+
+class TournamentAggregates(NamedTuple):
+    """Additive per-strategy aggregates for one device batch (all int32).
+
+    Shapes: (S,) for counts, (S, M) for metric sums, with M = N_METRICS.
+    """
+
+    wins: jax.Array
+    attempted_exposures: jax.Array
+    completed_exposures: jax.Array
+    safety_limit_exposures: jax.Array
+    games_attempted: jax.Array  # ()
+    games_completed: jax.Array  # ()
+    games_safety_limit: jax.Array  # ()
+    metric_sums: jax.Array  # (S, M)
+    metric_sq_hi2: jax.Array  # (S, M) sum of hi^2
+    metric_sq_hilo: jax.Array  # (S, M) sum of hi*lo
+    metric_sq_lo2: jax.Array  # (S, M) sum of lo^2
+
+
+def shuffle_seat_ids(
+    spec: TournamentSpec, shuffle_indices: jax.Array
+) -> jax.Array:
+    """Per-shuffle on-device grid permutations -> seat ids ``(NS, G, k)``.
+
+    Each shuffle permutes the full strategy grid with its namespace-101
+    coordinate key and splits it contiguously into ``G = S/k`` tables
+    (reference seating rule, run_tournament.py:298-327).
+    """
+    keys = rng.vector_coordinate_keys(
+        rng.RandomPurpose.SHUFFLE_PERMUTATION,
+        root_seed=spec.root_seed,
+        k=spec.k,
+        shuffle_index=jnp.asarray(shuffle_indices, dtype=jnp.uint32),
+    )
+    perm = jax.vmap(
+        lambda key: jax.random.permutation(key, spec.n_strategies).astype(jnp.int32)
+    )(keys)
+    ns = perm.shape[0]
+    return perm.reshape(ns, spec.games_per_shuffle, spec.k)
+
+
+def play_shuffles(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices: jax.Array,
+) -> tuple[gk.GameResult, jax.Array]:
+    """Play every game of a batch of shuffles. Jit-compatible.
+
+    Args:
+        spec: static tournament cell description.
+        params: ``(score_threshold, dice_threshold, flags)`` int32 arrays of
+            shape (S,) — the packed strategy grid on device.
+        shuffle_indices: (NS,) shuffle coordinates to play.
+
+    Returns:
+        ``(GameResult over B = NS * G games, seat_ids (B, k))``.
+    """
+    st_tab, dt_tab, fl_tab = params
+    seat_ids = shuffle_seat_ids(spec, shuffle_indices)  # (NS, G, k)
+    ns, g, k = seat_ids.shape
+    flat_ids = seat_ids.reshape(ns * g, k)
+
+    st = st_tab[flat_ids]
+    dt = dt_tab[flat_ids]
+    fl = fl_tab[flat_ids]
+
+    shuffle_per_game = jnp.repeat(
+        jnp.asarray(shuffle_indices, dtype=jnp.uint32), g
+    )  # (B,)
+    game_idx = jnp.tile(jnp.arange(g, dtype=jnp.uint32), ns)  # (B,)
+
+    seat_keys = rng.vector_coordinate_keys(
+        rng.RandomPurpose.TOURNAMENT_PLAYER,
+        root_seed=spec.root_seed,
+        k=spec.k,
+        shuffle_index=shuffle_per_game[:, None],
+        game_index=game_idx[:, None],
+        seat_index=jnp.arange(k, dtype=jnp.uint32)[None, :],
+    )
+    key_data = jax.random.key_data(seat_keys)  # (B, k, 2)
+
+    result = gk.play_games(
+        key_data, st, dt, fl,
+        target_score=spec.target_score,
+        max_rounds=spec.max_rounds,
+    )
+    return result, flat_ids
+
+
+def winner_metrics(result: gk.GameResult) -> tuple[jax.Array, jax.Array]:
+    """Per-game winner metric matrix ``(B, M)`` and winner strategy gather seat.
+
+    For safety-limit games the winner row is garbage (seat argmax) — callers
+    must mask with ``result.completed``.
+    """
+    w = jnp.clip(result.winner_seat, 0, None)[:, None]  # (B,1)
+
+    def at_winner(arr):
+        return jnp.take_along_axis(arr, w, axis=1)[:, 0]
+
+    metrics = jnp.stack(
+        [
+            result.winning_score,
+            result.n_rounds,
+            at_winner(result.n_farkles),
+            at_winner(result.n_rolls),
+            at_winner(result.highest_turn),
+            at_winner(result.smart_five_uses),
+            at_winner(result.n_smart_five_dice),
+            at_winner(result.smart_one_uses),
+            at_winner(result.n_smart_one_dice),
+            at_winner(result.n_hot_dice),
+            jnp.zeros_like(result.n_rounds),  # hit_max_rounds: 0 for winners
+        ],
+        axis=1,
+    )
+    return metrics, w[:, 0]
+
+
+def aggregate(
+    result: gk.GameResult, seat_ids: jax.Array, n_strategies: int
+) -> TournamentAggregates:
+    """Reduce a played batch into per-strategy aggregates (device-side).
+
+    Semantics mirror the reference ``OutcomeCounter.record_row``
+    (run_tournament.py:168-189): every seated strategy gets one attempted
+    exposure per game; completed games add completed exposures and exactly one
+    win; safety-limit games add safety exposures and no winner-conditioned
+    data.
+    """
+    b, k = seat_ids.shape
+    completed = result.completed
+    flat_seats = seat_ids.reshape(-1)
+    ones = jnp.ones(b * k, dtype=jnp.int32)
+    comp_bk = jnp.repeat(completed, k).astype(jnp.int32)
+
+    def seg(data):
+        return jax.ops.segment_sum(data, flat_seats, num_segments=n_strategies)
+
+    attempted = seg(ones)
+    completed_exp = seg(comp_bk)
+    safety_exp = attempted - completed_exp
+
+    winner_sid = jnp.take_along_axis(
+        seat_ids, jnp.clip(result.winner_seat, 0, None)[:, None], axis=1
+    )[:, 0]
+    win_inc = completed.astype(jnp.int32)
+    wins = jax.ops.segment_sum(win_inc, winner_sid, num_segments=n_strategies)
+
+    metrics, _ = winner_metrics(result)  # (B, M)
+    masked = jnp.where(completed[:, None], metrics, 0)
+    hi = masked // _SPLIT
+    lo = masked % _SPLIT
+
+    def seg_m(data):
+        return jax.ops.segment_sum(data, winner_sid, num_segments=n_strategies)
+
+    # zero out safety rows before segment (winner_sid is garbage there)
+    def z(x):
+        return jnp.where(completed[:, None], x, 0)
+
+    return TournamentAggregates(
+        wins=wins,
+        attempted_exposures=attempted,
+        completed_exposures=completed_exp,
+        safety_limit_exposures=safety_exp,
+        games_attempted=jnp.asarray(b, dtype=jnp.int32),
+        games_completed=completed.astype(jnp.int32).sum(),
+        games_safety_limit=(~completed).astype(jnp.int32).sum(),
+        metric_sums=seg_m(z(masked)),
+        metric_sq_hi2=seg_m(z(hi * hi)),
+        metric_sq_hilo=seg_m(z(hi * lo)),
+        metric_sq_lo2=seg_m(z(lo * lo)),
+    )
+
+
+def play_and_aggregate(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices: jax.Array,
+) -> TournamentAggregates:
+    """Fused play + reduce for one shuffle batch (the jit unit)."""
+    result, seat_ids = play_shuffles(spec, params, shuffle_indices)
+    return aggregate(result, seat_ids, spec.n_strategies)
+
+
+# ---------------------------------------------------------------------------
+# Host-side exact accumulation
+# ---------------------------------------------------------------------------
+
+
+class TournamentAccumulator:
+    """Exact int64 host accumulator over device batches.
+
+    Addition is associative and commutative here, so absorption order never
+    affects results (unlike float accumulation) — any resume/replay order of
+    deterministic batches reproduces identical totals.
+    """
+
+    def __init__(self, n_strategies: int) -> None:
+        s, m = n_strategies, N_METRICS
+        self.n_strategies = n_strategies
+        self.wins = np.zeros(s, dtype=np.int64)
+        self.attempted_exposures = np.zeros(s, dtype=np.int64)
+        self.completed_exposures = np.zeros(s, dtype=np.int64)
+        self.safety_limit_exposures = np.zeros(s, dtype=np.int64)
+        self.games_attempted = 0
+        self.games_completed = 0
+        self.games_safety_limit = 0
+        self.metric_sums = np.zeros((s, m), dtype=np.int64)
+        self.metric_sq_sums = np.zeros((s, m), dtype=np.int64)
+
+    def absorb(self, agg: TournamentAggregates) -> None:
+        """Add one device batch (or a restored per-block aggregate)."""
+        a = jax.tree.map(lambda x: np.asarray(x, dtype=np.int64), agg)
+        self.wins += a.wins
+        self.attempted_exposures += a.attempted_exposures
+        self.completed_exposures += a.completed_exposures
+        self.safety_limit_exposures += a.safety_limit_exposures
+        self.games_attempted += int(a.games_attempted)
+        self.games_completed += int(a.games_completed)
+        self.games_safety_limit += int(a.games_safety_limit)
+        self.metric_sums += a.metric_sums
+        self.metric_sq_sums += (
+            a.metric_sq_hi2 * (_SPLIT * _SPLIT)
+            + 2 * _SPLIT * a.metric_sq_hilo
+            + a.metric_sq_lo2
+        )
+
+    def merge(self, other: "TournamentAccumulator") -> None:
+        """Absorb another accumulator (cross-block / cross-host reduction)."""
+        if other.n_strategies != self.n_strategies:
+            raise ValueError("accumulator strategy-count mismatch")
+        self.wins += other.wins
+        self.attempted_exposures += other.attempted_exposures
+        self.completed_exposures += other.completed_exposures
+        self.safety_limit_exposures += other.safety_limit_exposures
+        self.games_attempted += other.games_attempted
+        self.games_completed += other.games_completed
+        self.games_safety_limit += other.games_safety_limit
+        self.metric_sums += other.metric_sums
+        self.metric_sq_sums += other.metric_sq_sums
+
+    def check_conservation(self) -> None:
+        """Exposure conservation invariants (run_tournament.py:644-672 analogue)."""
+        k_total = self.attempted_exposures.sum()
+        if self.games_attempted and k_total % self.games_attempted != 0:
+            raise ValueError("attempted exposures are not a multiple of games")
+        if (
+            self.attempted_exposures
+            != self.completed_exposures + self.safety_limit_exposures
+        ).any():
+            raise ValueError("attempted != completed + safety_limit exposures")
+        if self.games_attempted != self.games_completed + self.games_safety_limit:
+            raise ValueError("game outcome counts do not conserve")
+        if self.wins.sum() != self.games_completed:
+            raise ValueError("wins must equal completed games")
+
+    def state_dict(self) -> dict:
+        """Serializable exact state (for checkpoints)."""
+        return {
+            "n_strategies": self.n_strategies,
+            "wins": self.wins,
+            "attempted_exposures": self.attempted_exposures,
+            "completed_exposures": self.completed_exposures,
+            "safety_limit_exposures": self.safety_limit_exposures,
+            "games_attempted": self.games_attempted,
+            "games_completed": self.games_completed,
+            "games_safety_limit": self.games_safety_limit,
+            "metric_sums": self.metric_sums,
+            "metric_sq_sums": self.metric_sq_sums,
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "TournamentAccumulator":
+        acc = cls(int(state["n_strategies"]))
+        acc.wins = np.asarray(state["wins"], dtype=np.int64).copy()
+        acc.attempted_exposures = np.asarray(
+            state["attempted_exposures"], dtype=np.int64
+        ).copy()
+        acc.completed_exposures = np.asarray(
+            state["completed_exposures"], dtype=np.int64
+        ).copy()
+        acc.safety_limit_exposures = np.asarray(
+            state["safety_limit_exposures"], dtype=np.int64
+        ).copy()
+        acc.games_attempted = int(state["games_attempted"])
+        acc.games_completed = int(state["games_completed"])
+        acc.games_safety_limit = int(state["games_safety_limit"])
+        acc.metric_sums = np.asarray(state["metric_sums"], dtype=np.int64).copy()
+        acc.metric_sq_sums = np.asarray(state["metric_sq_sums"], dtype=np.int64).copy()
+        return acc

@@ -1,0 +1,95 @@
+"""Ahead-of-time compiled-executable cache.
+
+The attached TPU backend in this environment (axon, remote-tunneled) costs
+~0.5 s of network round-trips *per HLO op* during lowering, so a ~1k-op game
+kernel takes minutes to lower on every process start even though XLA's own
+compilation cache hits. This module removes that tax wholesale: the fully
+compiled executable is serialized (``jax.experimental.serialize_executable``)
+and pickled to disk, keyed by a hash of the traced jaxpr + shapes + platform.
+Warm starts deserialize in milliseconds.
+
+Tracing is always done fresh (it is fast and device-independent); only
+lowering+compilation is skipped on a cache hit, so a code change that alters
+the program automatically misses the cache via the jaxpr hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_CACHE_DIR = Path(
+    os.environ.get("FARKLE_AOT_CACHE", Path.home() / ".cache" / "farkle_ii_tpu" / "aot")
+)
+
+
+def _platform_fingerprint() -> str:
+    dev = jax.devices()[0]
+    return f"{jax.__version__}|{dev.platform}|{getattr(dev, 'device_kind', '?')}|{len(jax.devices())}"
+
+
+def cache_key_for_trace(traced, extra: str = "") -> str:
+    """Stable key: jaxpr text + input avals + platform + jax version."""
+    text = str(traced.jaxpr)
+    avals = str(getattr(traced, "in_avals", ""))
+    payload = "\x00".join([text, avals, _platform_fingerprint(), extra])
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+def cached_compile(
+    fn: Callable[..., Any],
+    *example_args: Any,
+    cache_dir: Path | str | None = None,
+    extra_key: str = "",
+    static_argnums: tuple[int, ...] = (),
+):
+    """Return a compiled executable for ``fn(*example_args)``, disk-cached.
+
+    ``fn`` is wrapped in ``jax.jit`` if it is not already jitted. The returned
+    object is callable with arguments matching the example shapes/dtypes.
+    """
+    cache_dir = Path(cache_dir) if cache_dir is not None else _DEFAULT_CACHE_DIR
+    jitted = fn if hasattr(fn, "trace") else jax.jit(fn, static_argnums=static_argnums)
+    traced = jitted.trace(*example_args)
+    key = cache_key_for_trace(traced, extra=extra_key)
+    path = cache_dir / f"{key}.aotx"
+
+    if path.exists():
+        try:
+            from jax.experimental.serialize_executable import deserialize_and_load
+
+            with open(path, "rb") as f:
+                blob, in_tree, out_tree = pickle.load(f)
+            compiled = deserialize_and_load(blob, in_tree, out_tree)
+            logger.info("aot_cache hit: %s", path.name)
+            return compiled
+        except Exception as exc:  # corrupted/incompatible cache entry
+            logger.warning("aot_cache entry %s unusable (%s); recompiling", path.name, exc)
+            try:
+                path.unlink()
+            except OSError:
+                pass
+
+    compiled = traced.lower().compile()
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        blob, in_tree, out_tree = serialize(compiled)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((blob, in_tree, out_tree), f)
+        os.replace(tmp, path)
+        logger.info("aot_cache store: %s", path.name)
+    except Exception as exc:  # serialization unsupported on this backend
+        logger.warning("aot_cache store failed (%s); continuing uncached", exc)
+    return compiled

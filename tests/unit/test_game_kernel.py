@@ -22,20 +22,19 @@ MAX_ROLLS = 1024
 @jax.jit
 def _all_dice(seat_key_data):
     """Precompute dice for every (game, seat, roll_index) in one XLA call."""
-
-    def per_key(kd):
-        key = jax.random.wrap_key_data(kd, impl="threefry2x32")
-
-        def per_roll(r):
-            return jax.random.randint(
-                jax.random.fold_in(key, r), (6,), 1, 7, dtype=jnp.int32
-            )
-
-        return jax.vmap(per_roll)(jnp.arange(MAX_ROLLS, dtype=jnp.uint32))
+    from farkle_ii_tpu.ops.threefry import roll_dice
 
     b, k, _ = seat_key_data.shape
     flat = seat_key_data.reshape(b * k, 2)
-    return jax.vmap(per_key)(flat).reshape(b, k, MAX_ROLLS, 6)
+    rolls = jnp.arange(MAX_ROLLS, dtype=jnp.uint32)
+    dice = jax.vmap(
+        lambda kd: roll_dice(
+            jnp.broadcast_to(kd[0], (MAX_ROLLS,)),
+            jnp.broadcast_to(kd[1], (MAX_ROLLS,)),
+            rolls,
+        )
+    )(flat)
+    return dice.reshape(b, k, MAX_ROLLS, 6)
 
 
 def make_dice_source(dice_row):

@@ -1,0 +1,145 @@
+"""Tournament aggregation tests: conservation, exactness, shard invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from farkle_ii_tpu.parallel.mesh import make_mesh, sharded_play_and_aggregate
+from farkle_ii_tpu.simulation import strategies as S
+from farkle_ii_tpu.simulation import tournament as T
+
+
+@pytest.fixture(scope="module")
+def small_grid():
+    # 24 strategies -> divisible by k in {2, 3, 4}
+    grid = S.build_strategy_grid(
+        score_thresholds=(300,),
+        dice_thresholds=(2,),
+        smart_one_opts=(False,),
+        run_up_score_opts=(False,),
+    )
+    assert len(grid) == 24, len(grid)
+    return grid
+
+
+@pytest.fixture(scope="module")
+def params(small_grid):
+    p = S.pack_strategy_params(small_grid)
+    return (
+        jnp.asarray(p.score_threshold),
+        jnp.asarray(p.dice_threshold),
+        jnp.asarray(p.flags),
+    )
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError):
+        T.TournamentSpec(root_seed=1, k=5, n_strategies=24)
+    spec = T.TournamentSpec(root_seed=1, k=3, n_strategies=24)
+    assert spec.games_per_shuffle == 8
+
+
+def test_shuffle_seat_ids_are_permutations(small_grid):
+    spec = T.TournamentSpec(root_seed=7, k=2, n_strategies=24)
+    ids = np.asarray(T.shuffle_seat_ids(spec, jnp.arange(5)))
+    assert ids.shape == (5, 12, 2)
+    for i in range(5):
+        assert sorted(ids[i].reshape(-1).tolist()) == list(range(24))
+    # distinct shuffles permute differently
+    assert not (ids[0] == ids[1]).all()
+    # deterministic per coordinate
+    again = np.asarray(T.shuffle_seat_ids(spec, jnp.arange(5)))
+    np.testing.assert_array_equal(ids, again)
+
+
+def test_aggregate_conservation_and_wins(params):
+    spec = T.TournamentSpec(root_seed=11, k=2, n_strategies=24)
+    agg = jax.jit(lambda sh: T.play_and_aggregate(spec, params, sh))(jnp.arange(4))
+    acc = T.TournamentAccumulator(24)
+    acc.absorb(agg)
+    acc.check_conservation()
+    # every strategy is seated exactly once per shuffle
+    assert (acc.attempted_exposures == 4).all()
+    assert acc.games_attempted == 4 * 12
+    # winner metric sums only where wins happened
+    assert (acc.metric_sums[:, 0] > 0).sum() == (acc.wins > 0).sum()
+    # winning_score sums are plausible (>= 10_000 per win)
+    won = acc.wins > 0
+    assert (acc.metric_sums[won, 0] >= 10_000 * acc.wins[won]).all()
+    # exact square sums: sq >= sum^2 / n (Cauchy-Schwarz)
+    w = acc.wins[won].astype(float)
+    s = acc.metric_sums[won, 0].astype(float)
+    q = acc.metric_sq_sums[won, 0].astype(float)
+    assert (q * w >= s * s - 1e-6).all()
+
+
+def test_exact_square_sums_vs_bruteforce(params):
+    spec = T.TournamentSpec(root_seed=13, k=3, n_strategies=24)
+    result, seat_ids = jax.jit(
+        lambda sh: T.play_shuffles(spec, params, sh)
+    )(jnp.arange(3))
+    agg = T.aggregate(result, seat_ids, 24)
+    acc = T.TournamentAccumulator(24)
+    acc.absorb(agg)
+
+    metrics, _ = T.winner_metrics(result)
+    metrics = np.asarray(metrics)
+    seat_ids = np.asarray(seat_ids)
+    completed = np.asarray(result.completed)
+    winner_seat = np.asarray(result.winner_seat)
+    expect_sums = np.zeros((24, T.N_METRICS), dtype=np.int64)
+    expect_sq = np.zeros((24, T.N_METRICS), dtype=np.int64)
+    for g in range(metrics.shape[0]):
+        if not completed[g]:
+            continue
+        sid = seat_ids[g, winner_seat[g]]
+        expect_sums[sid] += metrics[g]
+        expect_sq[sid] += metrics[g].astype(np.int64) ** 2
+    np.testing.assert_array_equal(acc.metric_sums, expect_sums)
+    np.testing.assert_array_equal(acc.metric_sq_sums, expect_sq)
+
+
+def test_batch_split_additivity(params):
+    """Playing shuffles in one batch or two must give identical totals."""
+    spec = T.TournamentSpec(root_seed=17, k=2, n_strategies=24)
+    run = jax.jit(lambda sh: T.play_and_aggregate(spec, params, sh))
+    acc_one = T.TournamentAccumulator(24)
+    acc_one.absorb(run(jnp.arange(6)))
+    acc_two = T.TournamentAccumulator(24)
+    acc_two.absorb(run(jnp.arange(4)))
+    acc_two.absorb(run(jnp.arange(4, 6)))
+    for name in ("wins", "attempted_exposures", "metric_sums", "metric_sq_sums"):
+        np.testing.assert_array_equal(getattr(acc_one, name), getattr(acc_two, name))
+    assert acc_one.games_completed == acc_two.games_completed
+
+
+def test_sharded_matches_single_device(params):
+    """8-virtual-device shard_map totals == single-device totals exactly."""
+    spec = T.TournamentSpec(root_seed=23, k=2, n_strategies=24)
+    mesh = make_mesh(8)
+    sharded = sharded_play_and_aggregate(spec, mesh)
+    agg_sharded = sharded(params, jnp.arange(8))
+    agg_single = jax.jit(lambda sh: T.play_and_aggregate(spec, params, sh))(
+        jnp.arange(8)
+    )
+    a = T.TournamentAccumulator(24)
+    a.absorb(agg_sharded)
+    b = T.TournamentAccumulator(24)
+    b.absorb(agg_single)
+    np.testing.assert_array_equal(a.wins, b.wins)
+    np.testing.assert_array_equal(a.metric_sums, b.metric_sums)
+    np.testing.assert_array_equal(a.metric_sq_sums, b.metric_sq_sums)
+    assert a.games_completed == b.games_completed
+
+
+def test_accumulator_state_roundtrip(params):
+    spec = T.TournamentSpec(root_seed=29, k=2, n_strategies=24)
+    agg = jax.jit(lambda sh: T.play_and_aggregate(spec, params, sh))(jnp.arange(2))
+    acc = T.TournamentAccumulator(24)
+    acc.absorb(agg)
+    restored = T.TournamentAccumulator.from_state_dict(acc.state_dict())
+    np.testing.assert_array_equal(restored.wins, acc.wins)
+    np.testing.assert_array_equal(restored.metric_sq_sums, acc.metric_sq_sums)
+    restored.merge(acc)
+    assert restored.games_attempted == 2 * acc.games_attempted
