@@ -1,0 +1,523 @@
+"""Typed application configuration: YAML loading, validation, identity, paths.
+
+Config-surface parity with the reference (``/root/reference/src/farkle/config.py``):
+the YAML section/key names match, so a reference user's config files load
+unchanged. Features preserved:
+
+* typed dataclass sections with defaults (reference config.py:140-392);
+* deep-merge YAML overlays + dotted-key expansion (:1231, :1374);
+* strict unknown-key rejection with difflib suggestions (:1267-1280) and a
+  retired-key migration map (:62-119);
+* inline ``--set a.b=c`` overrides with type coercion (:1541-1569);
+* canonical-JSON config sha plus per-stage *scoped* shas over each stage's
+  declared cache-scope keys, so unrelated config edits never invalidate a
+  stage (:1830-1843);
+* statistical ``freshness_key`` binding all contract versions (:461-504);
+* seed-suffixed results root, six canonical artifact scopes, and concrete
+  path helpers (:417-426, :548-641).
+
+TPU-native additions live under ``sim`` (device batch sizing) and ``tpu``
+(mesh/runtime knobs); they default sensibly so reference configs stay valid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import difflib
+import hashlib
+import json
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Any, Mapping
+
+import yaml
+
+CONFIG_SHA_VERSION = 1
+
+# Canonical artifact scopes (reference config.py:45 ArtifactScope)
+ARTIFACT_SCOPES = ("by_k", "concat_ks", "across_k", "cross_seed", "diagnostics", "h2h_2p")
+
+# Retired keys -> migration guidance (subset of reference config.py:62-119;
+# extend as needed)
+RETIRED_CONFIG_KEYS: dict[str, str] = {
+    "sim.num_shuffles": "workload is resolved from screening.resolution_delta",
+    "sim.n_games": "workload is resolved from screening.resolution_delta",
+    "analysis.trueskill_beta": "moved to trueskill.beta",
+    "io.append_seed": "results root is always seed-suffixed",
+}
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Sections
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+@dataclass
+class IOConfig:
+    results_dir_prefix: str = "results"
+    analysis_subdir: str = "analysis"
+
+
+@dataclass
+class RNGConfig:
+    scheme_version: int = 2
+    # accepted for reference-config compatibility; this framework's streams
+    # are counter-based threefry2x32 regardless (see ops/rng.py)
+    bit_generator: str = "threefry2x32"
+
+
+@dataclass
+class ScreeningConfig:
+    resolution_delta: float = 0.03
+    interval_confidence: float = 0.95
+    practical_delta_by_k: dict[int, float] = field(default_factory=dict)
+    delta_across_k: float = 0.03
+    bootstrap_replicates: int = 2000
+    candidate_contribution_size: int = 75
+    controls: list[int] = field(default_factory=list)
+    mandatory_diagnostics: list[int] = field(default_factory=list)
+    max_shuffles_per_root_k: int | None = None
+    projected_games_per_second: float | None = None
+
+
+@dataclass
+class BatchingConfig:
+    target_batches: int = 100
+    min_shuffles_per_batch: int = 30
+
+
+@dataclass
+class RobustnessConfig:
+    report_pareto: bool = True
+    report_maximin: bool = True
+    delta_seed_stability: float = 0.03
+    joint_discrepancy_alpha: float = 0.05
+    matched_count_fractions: list[float] = field(
+        default_factory=lambda: [0.25, 0.50, 0.75, 1.0]
+    )
+
+
+@dataclass
+class ArtifactContractConfig:
+    artifact_contract_version: int = 2
+    estimand_version: int = 1
+    schema_version: int = 1
+
+
+@dataclass
+class KAggregationConfig:
+    method: str = "equal-k"
+    k_weights: dict[int, float] | None = None
+
+
+@dataclass
+class SimConfig:
+    n_players_list: list[int] = field(default_factory=lambda: [5])
+    seed: int = 0
+    seed_list: list[int] | None = field(default_factory=lambda: [0])
+    expanded_metrics: bool = False
+    row_dir: str | None = None
+    per_n: dict[str, Any] = field(default_factory=dict)
+    n_jobs: int | None = None
+    mp_start_method: str | None = None
+    desired_sec_per_chunk: int = 10
+    ckpt_every_sec: int = 30
+    score_thresholds: list[int] | None = None
+    dice_thresholds: list[int] | None = None
+    smart_five_opts: list[bool] | None = None
+    smart_one_opts: list[bool] | None = None
+    consider_score_opts: list[bool] | None = field(default_factory=lambda: [True, False])
+    consider_dice_opts: list[bool] | None = field(default_factory=lambda: [True, False])
+    auto_hot_dice_opts: list[bool] | None = field(default_factory=lambda: [True, False])
+    run_up_score_opts: list[bool] | None = field(default_factory=lambda: [True, False])
+    include_stop_at: bool = False
+    include_stop_at_heuristic: bool = False
+    progress_logging: dict[str, Any] = field(default_factory=dict)
+    # TPU-native additions (ignored by nothing; defaults match device limits)
+    shuffles_per_device_batch: int = 64
+
+
+@dataclass
+class AnalysisConfig:
+    n_jobs: int = 1
+    mp_start_method: str | None = None
+    log_level: str = "INFO"
+    results_glob: str = "*_players"
+    outputs: dict[str, Any] = field(default_factory=dict)
+    progress_logging: dict[str, Any] = field(default_factory=dict)
+    run_rng_diagnostics: bool = True
+    rng_max_matchup_groups: int = 2000
+    rare_event_detail: bool = False
+
+
+@dataclass
+class IngestConfig:
+    row_group_size: int = 64000
+    parquet_codec: str = "snappy"
+    batch_rows: int = 100000
+    n_jobs: int = 1
+
+
+@dataclass
+class CombineConfig:
+    max_players: int = 12
+
+
+@dataclass
+class TrueSkillConfig:
+    beta: float = 25.0
+    tau: float = 0.1
+    draw_probability: float = 0.0
+
+
+@dataclass
+class Head2HeadConfig:
+    n_jobs: int = 4
+    family_alpha: float = 0.02
+    target_power: float = 0.80
+    practical_delta: float = 0.03
+    sensitivity_deltas: list[float] = field(default_factory=lambda: [0.03, 0.04])
+    seat1_advantage_scenarios: list[float] = field(
+        default_factory=lambda: [0.0, 0.03, 0.06]
+    )
+    delta_equivalence: float | None = None
+    candidate_cap: int | None = None
+    candidate_cap_policy: str = "balanced-tail"
+    min_candidate_completion_rate: float = 0.99
+    max_attempt_multiplier: float = 2.0
+    total_game_cap: int = 100_000_000
+    allow_single_root: bool = True
+
+
+@dataclass
+class HGBConfig:
+    max_depth: int = 6
+    n_estimators: int = 300
+    heldout_folds: int = 5
+    permutation_repeats: int = 10
+    future_proposal_limit: int = 100
+
+
+@dataclass
+class OrchestrationConfig:
+    parallel_seeds: bool = False
+
+
+@dataclass
+class TPUConfig:
+    """TPU-native runtime knobs (no reference equivalent)."""
+
+    mesh_devices: int | None = None  # None = all available
+    aot_cache: bool = True
+    donate_state: bool = True
+
+
+@dataclass
+class AppConfig:
+    io: IOConfig = field(default_factory=IOConfig)
+    sim: SimConfig = field(default_factory=SimConfig)
+    analysis: AnalysisConfig = field(default_factory=AnalysisConfig)
+    ingest: IngestConfig = field(default_factory=IngestConfig)
+    combine: CombineConfig = field(default_factory=CombineConfig)
+    trueskill: TrueSkillConfig = field(default_factory=TrueSkillConfig)
+    head2head: Head2HeadConfig = field(default_factory=Head2HeadConfig)
+    hgb: HGBConfig = field(default_factory=HGBConfig)
+    rng: RNGConfig = field(default_factory=RNGConfig)
+    screening: ScreeningConfig = field(default_factory=ScreeningConfig)
+    batching: BatchingConfig = field(default_factory=BatchingConfig)
+    robustness: RobustnessConfig = field(default_factory=RobustnessConfig)
+    artifact_contract: ArtifactContractConfig = field(default_factory=ArtifactContractConfig)
+    k_aggregation: KAggregationConfig = field(default_factory=KAggregationConfig)
+    orchestration: OrchestrationConfig = field(default_factory=OrchestrationConfig)
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+    data_dir: str = "data"
+    config_sha: str | None = field(default=None, init=False, repr=False, compare=False)
+
+    # ── Paths ────────────────────────────────────────────────────────────
+    @property
+    def results_root(self) -> Path:
+        """Seed-suffixed results root (reference config.py:417-426)."""
+        base = Path(self.io.results_dir_prefix)
+        if not base.is_absolute():
+            base = Path(self.data_dir) / base
+        suffix = f"_seed_{self.sim.seed}"
+        if base.name.endswith(suffix):
+            return base
+        return base.parent / f"{base.name}{suffix}"
+
+    @property
+    def analysis_dir(self) -> Path:
+        return self.results_root / self.io.analysis_subdir
+
+    def scope_dir(self, scope: str) -> Path:
+        """Directory for one of the six canonical artifact scopes."""
+        if scope not in ARTIFACT_SCOPES:
+            raise ValueError(f"unknown artifact scope: {scope!r} (not in {ARTIFACT_SCOPES})")
+        return self.analysis_dir / scope
+
+    def n_players_dir(self, n: int) -> Path:
+        return self.results_root / f"{n}_players"
+
+    def rows_dir(self, n: int) -> Path:
+        if self.sim.row_dir is None:
+            raise ValueError("sim.row_dir is null: row writing is disabled")
+        return self.n_players_dir(n) / self.sim.row_dir
+
+    def checkpoint_path(self, n: int) -> Path:
+        return self.n_players_dir(n) / f"{n}p_checkpoint.parquet"
+
+    def metrics_path(self, n: int) -> Path:
+        return self.n_players_dir(n) / f"{n}p_metrics.parquet"
+
+    def workload_plan_path(self) -> Path:
+        return self.results_root / "simulation_workload_plan.json"
+
+    def strategy_manifest_path(self) -> Path:
+        return self.results_root / "strategy_manifest.parquet"
+
+    def simulation_done_path(self) -> Path:
+        return self.results_root / "simulation.done.json"
+
+    def sim_checkpoint_state_path(self, n: int) -> Path:
+        return self.n_players_dir(n) / f"{n}p_sim_state.json"
+
+    def manifest_path(self) -> Path:
+        return self.results_root / "manifest.ndjson"
+
+    def ingested_rows_raw(self, n: int) -> Path:
+        return self.scope_dir("by_k") / f"{n}p" / f"{n}p_ingested_rows.raw.parquet"
+
+    def curated_rows_path(self, n: int) -> Path:
+        return self.scope_dir("by_k") / f"{n}p" / f"{n}p_rows.parquet"
+
+    def combined_rows_path(self) -> Path:
+        return self.scope_dir("concat_ks") / "all_ingested_rows.parquet"
+
+    def batch_metrics_path(self, n: int) -> Path:
+        return self.scope_dir("by_k") / f"{n}p" / f"{n}p_batch_metrics.parquet"
+
+    def performance_dir(self) -> Path:
+        return self.scope_dir("across_k") / "performance"
+
+    def seat_analysis_dir(self) -> Path:
+        return self.scope_dir("across_k") / "seat_analysis"
+
+    def trueskill_dir(self) -> Path:
+        return self.scope_dir("by_k") / "trueskill"
+
+    def screening_path(self) -> Path:
+        return self.scope_dir("across_k") / "screening.parquet"
+
+    def h2h_dir(self) -> Path:
+        return self.scope_dir("h2h_2p")
+
+    # ── Identity ─────────────────────────────────────────────────────────
+    def to_dict(self) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for f_ in fields(self):
+            if f_.name == "config_sha":
+                continue
+            value = getattr(self, f_.name)
+            out[f_.name] = dataclasses.asdict(value) if dataclasses.is_dataclass(value) else value
+        return out
+
+    def freshness_key(self) -> dict[str, Any]:
+        """Statistical contract fingerprint (reference config.py:461-504)."""
+        return {
+            "rng_scheme_version": self.rng.scheme_version,
+            "artifact_contract_version": self.artifact_contract.artifact_contract_version,
+            "estimand_version": self.artifact_contract.estimand_version,
+            "schema_version": self.artifact_contract.schema_version,
+            "chance_rate_by_k": {int(k): 1.0 / int(k) for k in self.sim.n_players_list},
+            "k_support": sorted(int(k) for k in self.sim.n_players_list),
+            "k_aggregation_method": self.k_aggregation.method,
+            "k_weights": self.k_aggregation.k_weights,
+            "resolution_delta": self.screening.resolution_delta,
+            "interval_confidence": self.screening.interval_confidence,
+            "practical_delta_by_k": {
+                int(k): v for k, v in self.screening.practical_delta_by_k.items()
+            },
+            "delta_across_k": self.screening.delta_across_k,
+            "multiplicity": "holm_h2h",
+            "conditioning": "unconditional_default",
+        }
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Loading / merging / validation
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+class ConfigKeyError(ValueError):
+    """Unknown or retired configuration key."""
+
+
+def _deep_merge(base: dict, overlay: Mapping) -> dict:
+    out = dict(base)
+    for key, value in overlay.items():
+        if key in out and isinstance(out[key], dict) and isinstance(value, Mapping):
+            out[key] = _deep_merge(out[key], value)
+        else:
+            out[key] = value
+    return out
+
+
+def expand_dotted_keys(data: Mapping[str, Any]) -> dict[str, Any]:
+    """Expand ``{"a.b": 1}`` into ``{"a": {"b": 1}}`` recursively."""
+    out: dict[str, Any] = {}
+    for key, value in data.items():
+        if isinstance(value, Mapping):
+            value = expand_dotted_keys(value)
+        if isinstance(key, str) and "." in key:
+            head, rest = key.split(".", 1)
+            out = _deep_merge(out, {head: expand_dotted_keys({rest: value})})
+        else:
+            out = _deep_merge(out, {key: value})
+    return out
+
+
+_SECTION_TYPES: dict[str, type] = {
+    f.name: f.default_factory  # type: ignore[misc]
+    for f in fields(AppConfig)
+    if f.name not in ("config_sha", "data_dir")
+}
+
+
+def _validate_section_keys(section_name: str, section_type: type, data: Mapping) -> None:
+    valid = {f.name for f in fields(section_type)}
+    for key in data:
+        dotted = f"{section_name}.{key}"
+        if dotted in RETIRED_CONFIG_KEYS:
+            raise ConfigKeyError(
+                f"retired config key {dotted!r}: {RETIRED_CONFIG_KEYS[dotted]}"
+            )
+        if key not in valid:
+            suggestion = difflib.get_close_matches(key, valid, n=1)
+            hint = f"; did you mean {suggestion[0]!r}?" if suggestion else ""
+            raise ConfigKeyError(f"unknown config key {dotted!r}{hint}")
+
+
+def _coerce_section(section_type: type, data: Mapping) -> Any:
+    kwargs = {}
+    for f_ in fields(section_type):
+        if f_.name in data:
+            kwargs[f_.name] = data[f_.name]
+    return section_type(**kwargs)
+
+
+def config_from_dict(data: Mapping[str, Any]) -> AppConfig:
+    """Build a validated AppConfig from a (merged) plain dict."""
+    data = expand_dotted_keys(data)
+    valid_sections = set(_SECTION_TYPES) | {"data_dir"}
+    for key in data:
+        if key not in valid_sections:
+            suggestion = difflib.get_close_matches(key, valid_sections, n=1)
+            hint = f"; did you mean {suggestion[0]!r}?" if suggestion else ""
+            raise ConfigKeyError(f"unknown config section {key!r}{hint}")
+    kwargs: dict[str, Any] = {}
+    for name, section_type in _SECTION_TYPES.items():
+        section_data = data.get(name, {})
+        if not isinstance(section_data, Mapping):
+            raise ConfigKeyError(f"config section {name!r} must be a mapping")
+        _validate_section_keys(name, section_type, section_data)
+        kwargs[name] = _coerce_section(section_type, section_data)
+    cfg = AppConfig(**kwargs)
+    if "data_dir" in data:
+        cfg.data_dir = str(data["data_dir"])
+    # normalize int-keyed mappings parsed from YAML strings
+    cfg.screening.practical_delta_by_k = {
+        int(k): float(v) for k, v in cfg.screening.practical_delta_by_k.items()
+    }
+    return cfg
+
+
+def load_app_config(
+    path: str | Path | None = None,
+    *,
+    overlays: list[Mapping[str, Any]] | None = None,
+) -> AppConfig:
+    """Load config YAML (deep-merged with overlays) into a validated AppConfig."""
+    merged: dict[str, Any] = {}
+    if path is not None:
+        raw = yaml.safe_load(Path(path).read_text(encoding="utf-8")) or {}
+        if not isinstance(raw, dict):
+            raise ConfigKeyError(f"config file {path} must contain a mapping")
+        merged = _deep_merge(merged, raw)
+    for overlay in overlays or []:
+        merged = _deep_merge(merged, overlay)
+    return config_from_dict(merged)
+
+
+def _coerce_value(text: str) -> Any:
+    """Type-coerce a --set value: YAML-style scalars and flow collections."""
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        return text
+
+
+def apply_dot_overrides(cfg: AppConfig, overrides: list[str]) -> AppConfig:
+    """Apply ``a.b=c`` overrides onto an existing config, re-validating."""
+    data = cfg.to_dict()
+    for item in overrides:
+        if "=" not in item:
+            raise ConfigKeyError(f"override {item!r} must look like section.key=value")
+        dotted, text = item.split("=", 1)
+        patch = expand_dotted_keys({dotted.strip(): _coerce_value(text.strip())})
+        data = _deep_merge(data, patch)
+    return config_from_dict(data)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Hashing
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def _canonical(payload: Any) -> str:
+    return json.dumps(payload, sort_keys=True, separators=(",", ":"), default=str)
+
+
+def compute_config_sha(cfg: AppConfig) -> str:
+    """Canonical-JSON sha over the full config."""
+    return hashlib.sha256(
+        f"v{CONFIG_SHA_VERSION}\x00{_canonical(cfg.to_dict())}".encode()
+    ).hexdigest()
+
+
+# cache-scope keys per stage: which config sections feed each stage's identity
+STAGE_CACHE_SCOPES: dict[str, tuple[str, ...]] = {
+    "simulation": ("sim", "rng", "screening", "batching", "artifact_contract"),
+    "ingest": ("sim", "rng", "ingest", "artifact_contract"),
+    "curate": ("ingest", "artifact_contract"),
+    "combine": ("combine", "artifact_contract"),
+    "metrics": ("sim", "screening", "k_aggregation", "artifact_contract"),
+    "game_stats": ("analysis", "artifact_contract"),
+    "rng_diagnostics": ("analysis", "rng", "artifact_contract"),
+    "trueskill": ("trueskill", "artifact_contract"),
+    "hgb": ("hgb", "artifact_contract"),
+    "screening": ("screening", "k_aggregation", "artifact_contract"),
+    "root_stability": ("robustness", "screening", "artifact_contract"),
+    "candidate_freeze": ("screening", "head2head", "artifact_contract"),
+    "h2h_power": ("head2head", "artifact_contract"),
+    "h2h_execute": ("head2head", "rng", "artifact_contract"),
+    "h2h_inference": ("head2head", "artifact_contract"),
+    "dominance": ("head2head", "artifact_contract"),
+    "agreement": ("screening", "head2head", "artifact_contract"),
+    "reporting": ("artifact_contract",),
+}
+
+
+def compute_stage_config_sha(cfg: AppConfig, stage_key: str) -> str:
+    """Sha over only the stage's cache-scope sections (reference :1843)."""
+    scope = STAGE_CACHE_SCOPES.get(stage_key)
+    if scope is None:
+        raise KeyError(f"stage {stage_key!r} has no declared cache scope")
+    full = cfg.to_dict()
+    scoped = {name: full[name] for name in scope}
+    payload = f"{stage_key}\x00v{CONFIG_SHA_VERSION}\x00{_canonical(scoped)}"
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+def assign_config_sha(cfg: AppConfig) -> AppConfig:
+    cfg.config_sha = compute_config_sha(cfg)
+    return cfg

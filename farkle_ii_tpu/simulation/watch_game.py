@@ -1,0 +1,59 @@
+"""``farkle-tpu watch``: replay one deterministic game roll by roll.
+
+Reference parity: ``simulation/watch_game.py:157``. Uses the host oracle
+engine with the same coordinate-addressed dice streams as the TPU kernel, so
+what you watch is bit-for-bit what the device would play.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from farkle_ii_tpu.rules import oracle
+from farkle_ii_tpu.rules.engine_host import HostGame
+from farkle_ii_tpu.simulation.strategies import random_threshold_strategy
+
+
+def watch_game(*, seed: int = 0, k: int = 2, out=print) -> None:
+    """Play one game with verbose per-roll commentary."""
+    import jax.numpy as jnp
+
+    from farkle_ii_tpu.ops import game_kernel as gk, rng
+    from farkle_ii_tpu.ops.threefry import roll_dice
+
+    nprng = np.random.default_rng(seed)
+    strategies = [random_threshold_strategy(nprng) for _ in range(k)]
+    for i, s in enumerate(strategies):
+        out(f"P{i + 1}: {s}")
+
+    base = rng.purpose_base_key(rng.RandomPurpose.PLAYER, root_seed=seed, k=k)
+    key_data = np.asarray(gk.seat_key_data_for_games(base, jnp.arange(1), k))[0]
+
+    def dice_source(seat: int, roll_index: int, n: int):
+        d = np.asarray(
+            roll_dice(
+                jnp.uint32(key_data[seat, 0]),
+                jnp.uint32(key_data[seat, 1]),
+                jnp.uint32(roll_index),
+            )
+        )[:n]
+        faces = [int(x) for x in d]
+        score, used, sf, so = oracle.score_faces(faces)
+        out(f"  P{seat + 1} rolls {faces} -> score {score}, used {used}")
+        return faces
+
+    result = HostGame(strategies, dice_source).play()
+    out("")
+    if result.completed:
+        out(
+            f"Winner: P{result.winner_seat + 1} with "
+            f"{result.winning_score} points (margin {result.margin}, "
+            f"{result.n_rounds} rounds)"
+        )
+    else:
+        out(f"Safety limit reached after {result.n_rounds} rounds; no winner.")
+    for p in result.players:
+        out(
+            f"P{p.seat + 1}: score={p.score} turns={p.n_turns} rolls={p.n_rolls} "
+            f"farkles={p.n_farkles} highest_turn={p.highest_turn}"
+        )

@@ -1,0 +1,148 @@
+"""End-to-end runner tests: full config-driven run, artifacts, resume, CLI."""
+
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from farkle_ii_tpu import config as C
+from farkle_ii_tpu.simulation import runner as R
+from farkle_ii_tpu.utils import manifest as mf
+from farkle_ii_tpu.utils.stage_completion import StageState, resolve_stage_state
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    cfg = C.AppConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.sim.seed = 11
+    cfg.sim.n_players_list = [2, 3]
+    cfg.sim.expanded_metrics = True
+    # 24-strategy grid, tiny workload
+    cfg.sim.score_thresholds = [300]
+    cfg.sim.dice_thresholds = [2]
+    cfg.sim.smart_one_opts = [False]
+    cfg.sim.run_up_score_opts = [False]
+    cfg.sim.shuffles_per_device_batch = 4
+    cfg.screening.resolution_delta = 0.9  # tiny requirement
+    cfg.batching.target_batches = 3
+    cfg.batching.min_shuffles_per_batch = 2
+    cfg.tpu.aot_cache = False
+    return C.assign_config_sha(cfg)
+
+
+def test_full_run_artifacts_and_resume(cfg):
+    out = R.run_simulation(cfg, progress=lambda m: None)
+    assert out["n_strategies"] == 24
+
+    # planned workload: 3 batches x 2 shuffles
+    plans = json.loads(cfg.workload_plan_path().read_text())
+    assert plans["2"]["required_shuffles"] == 6
+    assert plans["2"]["games_per_shuffle"] == 12
+
+    # per-strategy summary
+    t = pq.read_table(cfg.checkpoint_path(2))
+    assert t.num_rows == 24
+    wins = np.asarray(t["wins"])
+    attempted = np.asarray(t["attempted_exposures"])
+    assert attempted.sum() == 6 * 12 * 2  # every game exposes 2 strategies
+    assert (attempted == 6).all()  # each strategy seated once per shuffle
+    assert wins.sum() <= 6 * 12
+
+    # expanded metrics
+    m = pq.read_table(cfg.metrics_path(3))
+    assert "winning_score_sum" in m.column_names
+    assert "winning_score_sq_sum" in m.column_names
+
+    # strategy manifest
+    sm = pq.read_table(cfg.strategy_manifest_path())
+    assert sm.num_rows == 24
+    assert "strategy_str" in sm.column_names
+
+    # stamp is COMPLETE_VALID under the same scoped sha
+    sha = C.compute_stage_config_sha(cfg, "simulation")
+    assert (
+        resolve_stage_state(
+            cfg.results_root, "simulation", config_sha=sha,
+            freshness_key=cfg.freshness_key(),
+        )
+        == StageState.COMPLETE_VALID
+    )
+
+    # manifest events recorded
+    events = [r["event"] for r in mf.read_manifest(cfg.manifest_path())]
+    assert events[0] == "run_start" and events[-1] == "run_end"
+    assert events.count("stage_start") == 2
+
+    # ---- resume: re-run absorbs all blocks without replaying ----
+    first = pq.read_table(cfg.checkpoint_path(2)).to_pydict()
+    out2 = R.run_simulation(cfg, progress=lambda m: None)
+    res2 = out2["results"][2]
+    assert sorted(res2.resumed_batches) == [0, 1, 2]
+    assert res2.completed_batches == []
+    second = pq.read_table(cfg.checkpoint_path(2)).to_pydict()
+    assert first == second  # identical totals from replayed blocks
+
+    # ---- partial resume: delete one block, only it is replayed ----
+    (cfg.n_players_dir(2) / "blocks" / "block_000001.npz").unlink()
+    out3 = R.run_simulation(cfg, progress=lambda m: None)
+    res3 = out3["results"][2]
+    assert sorted(res3.resumed_batches) == [0, 2]
+    assert res3.completed_batches == [1]
+    third = pq.read_table(cfg.checkpoint_path(2)).to_pydict()
+    assert first == third  # exact reproduction after replay
+
+
+def test_force_discards_blocks(cfg):
+    R.run_simulation(cfg, progress=lambda m: None)
+    out = R.run_simulation(cfg, force=True, progress=lambda m: None)
+    res = out["results"][2]
+    assert res.resumed_batches == []
+    assert sorted(res.completed_batches) == [0, 1, 2]
+
+
+def test_player_count_divisibility_validation(cfg):
+    cfg.sim.n_players_list = [5]  # 24 strategies not divisible by 5
+    with pytest.raises(ValueError, match="not divisible"):
+        R.run_simulation(cfg)
+
+
+def test_cli_run_and_time(cfg, tmp_path, monkeypatch, capsys):
+    from farkle_ii_tpu.cli import main as cli
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(
+        f"""
+data_dir: {tmp_path}
+sim:
+  seed: 11
+  n_players_list: [2]
+  score_thresholds: [300]
+  dice_thresholds: [2]
+  smart_one_opts: [false]
+  run_up_score_opts: [false]
+  shuffles_per_device_batch: 4
+screening:
+  resolution_delta: 0.9
+batching:
+  target_batches: 2
+  min_shuffles_per_batch: 2
+tpu:
+  aot_cache: false
+"""
+    )
+    code = cli.main(["--config", str(cfg_path), "run"])
+    assert code == 0
+    code = cli.main(["--config", str(cfg_path), "time", "--n-games", "64", "--k", "2"])
+    assert code == 0
+
+
+def test_watch_game_runs(capsys):
+    from farkle_ii_tpu.simulation.watch_game import watch_game
+
+    lines = []
+    watch_game(seed=3, k=2, out=lines.append)
+    text = "\n".join(lines)
+    assert "P1" in text and "rolls" in text
+    assert ("Winner" in text) or ("Safety limit" in text)
