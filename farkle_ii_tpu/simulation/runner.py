@@ -124,6 +124,75 @@ def load_block_aggregate(path: Path) -> T.TournamentAccumulator:
     return T.TournamentAccumulator.from_state_dict(state)
 
 
+def _write_row_shard(
+    cfg: AppConfig,
+    *,
+    n: int,
+    spec: T.TournamentSpec,
+    batch_id: int,
+    shuffle_lo: int,
+    shuffle_hi: int,
+    result,
+    seat_ids: np.ndarray,
+) -> Path:
+    """Publish one per-device-chunk row shard + manifest line.
+
+    Shard naming follows the reference pattern
+    ``rows_{root}_{k}p_{shuffle:012d}.parquet`` keyed by the chunk's first
+    shuffle (run_tournament.py:491-513); one shard covers a contiguous
+    shuffle range instead of a single shuffle because the device plays whole
+    chunks at once.
+    """
+    from farkle_ii_tpu.ops import rng as _rng
+    from farkle_ii_tpu.simulation import rows as rows_mod
+
+    g = spec.games_per_shuffle
+    ns = shuffle_hi - shuffle_lo
+    shuffle_per_game = np.repeat(np.arange(shuffle_lo, shuffle_hi, dtype=np.int64), g)
+    game_index = np.tile(np.arange(g, dtype=np.int32), ns)
+    shuffle_seed = rows_mod.coordinate_fingerprints(
+        _rng.RandomPurpose.TOURNAMENT_SHUFFLE,
+        root_seed=spec.root_seed, k=spec.k,
+        shuffle_index=shuffle_per_game,
+    )
+    game_seed = rows_mod.coordinate_fingerprints(
+        _rng.RandomPurpose.TOURNAMENT_GAME,
+        root_seed=spec.root_seed, k=spec.k,
+        shuffle_index=shuffle_per_game, game_index=game_index,
+    )
+    table = rows_mod.rows_table(
+        result,
+        seat_ids,
+        root_seed=spec.root_seed,
+        k=spec.k,
+        shuffle_index=shuffle_per_game,
+        game_index=game_index,
+        deterministic_batch_id=batch_id,
+        shuffle_seed=shuffle_seed,
+        game_seed=game_seed,
+    )
+    rows_dir = cfg.rows_dir(n)
+    shard = rows_dir / f"rows_{spec.root_seed}_{spec.k}p_{shuffle_lo:012d}.parquet"
+    write_parquet_artifact_atomic(
+        table, shard, producer="simulation", scope="by_k",
+        metadata={
+            "k": spec.k, "root_seed": spec.root_seed,
+            "shuffle_lo": shuffle_lo, "shuffle_hi": shuffle_hi,
+            "deterministic_batch_id": batch_id, "n_rows": table.num_rows,
+        },
+    )
+    mf.append_manifest_line(
+        rows_dir / "rows_manifest.ndjson",
+        {
+            "kind": "row_shard", "name": shard.name, "k": spec.k,
+            "root_seed": spec.root_seed, "shuffle_lo": shuffle_lo,
+            "shuffle_hi": shuffle_hi, "deterministic_batch_id": batch_id,
+            "n_rows": table.num_rows,
+        },
+    )
+    return shard
+
+
 # ─────────────────────────────────────────────────────────────────────────────
 # Execution
 # ─────────────────────────────────────────────────────────────────────────────
@@ -141,12 +210,21 @@ class CellRunResult:
     games_per_second: float
 
 
-def _compile_step(spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool):
+def _compile_step(
+    spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool, *, with_rows: bool = False
+):
     import jax
     import jax.numpy as jnp
 
-    def fn(params, sh):
-        return T.play_and_aggregate(spec, params, sh)
+    if with_rows:
+
+        def fn(params, sh):
+            return T.play_and_aggregate_with_rows(spec, params, sh)
+
+    else:
+
+        def fn(params, sh):
+            return T.play_and_aggregate(spec, params, sh)
 
     if use_aot_cache:
         from farkle_ii_tpu.utils.aot_cache import cached_compile
@@ -156,7 +234,7 @@ def _compile_step(spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool):
             params,
             jnp.arange(ns, dtype=jnp.uint32),
             extra_key=f"tournament-k{spec.k}-s{spec.n_strategies}-ns{ns}"
-            f"-t{spec.target_score}-r{spec.max_rounds}",
+            f"-t{spec.target_score}-r{spec.max_rounds}-rows{int(with_rows)}",
         )
         return compiled
     return jax.jit(fn)
@@ -204,7 +282,8 @@ def run_cell(
         T.MAX_SHUFFLES_PER_BATCH,
         plan.shuffles_per_batch,
     )
-    step = _compile_step(spec, params, ns_device, cfg.tpu.aot_cache)
+    with_rows = cfg.sim.row_dir is not None
+    step = _compile_step(spec, params, ns_device, cfg.tpu.aot_cache, with_rows=with_rows)
 
     total = T.TournamentAccumulator(len(strategies))
     completed: list[int] = []
@@ -233,14 +312,21 @@ def run_cell(
             chunk_hi = min(chunk_lo + ns_device, hi)
             idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
             if len(idx) < ns_device:
-                # keep the compiled shape; replay-safe because aggregates of
-                # the padding shuffles are subtracted via a mask-free trick:
-                # just run the remainder eagerly at its own (cached) shape.
-                agg = _compile_step(spec, params, len(idx), cfg.tpu.aot_cache)(
-                    params, jnp.asarray(idx)
+                # remainder runs at its own (cached) compiled shape
+                out = _compile_step(
+                    spec, params, len(idx), cfg.tpu.aot_cache, with_rows=with_rows
+                )(params, jnp.asarray(idx))
+            else:
+                out = step(params, jnp.asarray(idx))
+            if with_rows:
+                agg, result, seat_ids = out
+                _write_row_shard(
+                    cfg, n=n, spec=spec, batch_id=batch_id,
+                    shuffle_lo=chunk_lo, shuffle_hi=chunk_hi,
+                    result=result, seat_ids=np.asarray(seat_ids),
                 )
             else:
-                agg = step(params, jnp.asarray(idx))
+                agg = out
             acc.absorb(agg)
         acc.check_conservation()
         save_block_aggregate(_block_path(cfg, n, batch_id), acc, batch_id=batch_id)

@@ -270,6 +270,16 @@ def play_and_aggregate(
     return aggregate(result, seat_ids, spec.n_strategies)
 
 
+def play_and_aggregate_with_rows(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices: jax.Array,
+):
+    """Play + reduce, also returning per-game results for row export."""
+    result, seat_ids = play_shuffles(spec, params, shuffle_indices)
+    return aggregate(result, seat_ids, spec.n_strategies), result, seat_ids
+
+
 # ---------------------------------------------------------------------------
 # Host-side exact accumulation
 # ---------------------------------------------------------------------------

@@ -94,6 +94,36 @@ def test_full_run_artifacts_and_resume(cfg):
     assert first == third  # exact reproduction after replay
 
 
+def test_row_export(cfg):
+    from farkle_ii_tpu.simulation import rows as rows_mod
+
+    cfg.sim.row_dir = "rows"
+    cfg.sim.n_players_list = [2]
+    R.run_simulation(cfg, progress=lambda m: None)
+    rows_dir = cfg.rows_dir(2)
+    shards = sorted(rows_dir.glob("rows_*.parquet"))
+    assert len(shards) == 2 * 3 // 2  # ceil(2/4)=1 chunk per batch? see below
+    manifest_records = list(mf.read_manifest(rows_dir / "rows_manifest.ndjson"))
+    assert all(r["kind"] == "row_shard" for r in manifest_records)
+    total_rows = 0
+    for shard in shards:
+        t = pq.read_table(shard)
+        rows_mod.validate_rows_table(t)
+        total_rows += t.num_rows
+    # 3 batches x 2 shuffles x 12 games
+    assert total_rows == 6 * 12
+    # row-level winner tally matches the aggregate checkpoint exactly
+    t = pq.read_table(cfg.checkpoint_path(2))
+    wins = np.asarray(t["wins"])
+    row_wins = np.zeros(24, dtype=np.int64)
+    for shard in shards:
+        d = pq.read_table(shard).to_pydict()
+        for ws in d["winner_strategy"]:
+            if ws is not None:
+                row_wins[ws] += 1
+    np.testing.assert_array_equal(row_wins, wins)
+
+
 def test_force_discards_blocks(cfg):
     R.run_simulation(cfg, progress=lambda m: None)
     out = R.run_simulation(cfg, force=True, progress=lambda m: None)
