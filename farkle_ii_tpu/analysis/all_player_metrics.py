@@ -1,0 +1,290 @@
+"""Unconditional per-(root, k, batch, strategy) sufficient statistics.
+
+Schema and semantics parity with the reference
+(``/root/reference/src/farkle/analysis/all_player_metrics.py:21-110``):
+every *attempted* player-game exposure counts; a safety-limit game is a loss
+for every seated strategy (``ATTEMPT_CONDITIONING``); winner-conditioned
+fields are forbidden. The reference streams rows one Python dict at a time —
+here the seat-level columns are melted to long form once and reduced with a
+vectorized pandas groupby, which is algebraically identical and orders of
+magnitude faster.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Final
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
+from farkle_ii_tpu.utils.artifacts import (
+    read_parquet_artifact,
+    write_parquet_artifact_atomic,
+)
+from farkle_ii_tpu.utils.schema_helpers import OUTCOME_SCHEMA_VERSION
+from farkle_ii_tpu.utils.stage_completion import (
+    StageState,
+    resolve_stage_state,
+    write_stage_done,
+)
+
+logger = logging.getLogger(__name__)
+
+ATTEMPT_CONDITIONING: Final[str] = (
+    "all_attempted_player_game_exposures_safety_limit_is_loss"
+)
+
+BEHAVIOR_SUFFIXES: Final[tuple[str, ...]] = (
+    "rank",
+    "loss_margin",
+    "rolls",
+    "farkles",
+    "highest_turn",
+    "hot_dice",
+    "smart_five_uses",
+    "n_smart_five_dice",
+    "smart_one_uses",
+    "n_smart_one_dice",
+)
+
+CORE_COUNT_FIELDS: Final[tuple[str, ...]] = (
+    "raw_player_game_exposures",
+    "raw_completed_player_game_exposures",
+    "raw_safety_limit_player_game_exposures",
+    "raw_wins",
+    "raw_losses",
+    "raw_turn_round_mismatch_count",
+    "raw_max_round_abort_exposures",
+)
+CORE_SUM_FIELDS: Final[tuple[str, ...]] = (
+    "raw_final_score_sum",
+    "raw_final_score_square_sum",
+    "raw_n_turns_sum",
+    "raw_n_turns_square_sum",
+    "raw_turn_return_game_weighted_exact_sum",
+    "raw_turn_return_game_weighted_exact_square_sum",
+    "raw_turn_return_round_proxy_sum",
+    "raw_turn_return_round_proxy_square_sum",
+    "raw_turn_minus_rounds_sum",
+    "raw_turn_minus_rounds_square_sum",
+)
+DERIVED_FIELDS: Final[tuple[str, ...]] = (
+    "turn_return_turn_weighted",
+    "turn_return_game_weighted_exact",
+    "turn_return_round_proxy",
+    "round_proxy_gap",
+    "round_proxy_relative_gap",
+    "turn_round_mismatch_prevalence",
+    "win_rate_per_attempt",
+    "win_rate_given_completion",
+    "safety_limit_exposure_rate",
+)
+
+
+def all_player_batch_schema() -> pa.Schema:
+    """Stable unconditional batch-metric schema (reference ``:76``)."""
+    behavior_fields: list[pa.Field] = []
+    for suffix in BEHAVIOR_SUFFIXES:
+        behavior_fields.extend(
+            [
+                pa.field(f"raw_{suffix}_observations", pa.int64(), nullable=False),
+                pa.field(f"raw_{suffix}_sum", pa.float64(), nullable=False),
+                pa.field(f"raw_{suffix}_square_sum", pa.float64(), nullable=False),
+            ]
+        )
+    return pa.schema(
+        [
+            pa.field("root_seed", pa.int64(), nullable=False),
+            pa.field("k", pa.int16(), nullable=False),
+            pa.field("deterministic_batch_id", pa.int32(), nullable=False),
+            pa.field("strategy", pa.int32(), nullable=False),
+            *(pa.field(n, pa.int64(), nullable=False) for n in CORE_COUNT_FIELDS),
+            *(pa.field(n, pa.float64(), nullable=False) for n in CORE_SUM_FIELDS),
+            *behavior_fields,
+            *(pa.field(n, pa.float64()) for n in DERIVED_FIELDS),
+        ]
+    )
+
+
+def validate_unconditional_all_player_schema(schema: pa.Schema) -> None:
+    """Reject winner-conditioned fields and incomplete schemas."""
+    conditional = sorted(n for n in schema.names if n.startswith("win_conditioned_"))
+    if conditional:
+        raise ValueError(
+            "unconditional all-player metrics cannot contain winner-conditioned "
+            f"fields: {conditional}"
+        )
+    missing = sorted(set(all_player_batch_schema().names).difference(schema.names))
+    if missing:
+        raise ValueError(f"unconditional all-player metric schema is incomplete: {missing}")
+
+
+def melt_rows_to_exposures(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Explode per-game rows into one record per (game, seat) exposure."""
+    if (df["outcome_schema_version"] != OUTCOME_SCHEMA_VERSION).any():
+        raise ValueError(f"rows are not outcome-schema-v{OUTCOME_SCHEMA_VERSION}")
+    completed = df["termination_status"] == "completed"
+    if (~completed & df["winner_seat"].notna()).any():
+        raise ValueError("safety-limit rows cannot name a winner")
+    parts = []
+    for seat in range(1, k + 1):
+        p = f"P{seat}_"
+        part = pd.DataFrame(
+            {
+                "root_seed": df["root_seed"].to_numpy(),
+                "k": df["k"].to_numpy(),
+                "deterministic_batch_id": df["deterministic_batch_id"].to_numpy(),
+                "strategy": df[f"{p}strategy"].to_numpy(),
+                "score": df[f"{p}score"].to_numpy(dtype=np.float64),
+                "n_turns": df[f"{p}n_turns"].to_numpy(dtype=np.float64),
+                "n_rounds": df["n_rounds"].to_numpy(dtype=np.float64),
+                "completed": completed.to_numpy(),
+                "hit_max_rounds": df[f"{p}hit_max_rounds"].to_numpy(dtype=bool),
+                "won": (df["winner_seat"] == f"P{seat}").to_numpy(),
+            }
+        )
+        for suffix in BEHAVIOR_SUFFIXES:
+            part[suffix] = pd.to_numeric(df[f"{p}{suffix}"], errors="raise")
+        parts.append(part)
+    long = pd.concat(parts, ignore_index=True)
+    if (long["n_turns"] < 1).any() or (long["n_rounds"] < 1).any():
+        raise ValueError("n_turns and n_rounds must be positive for every exposure")
+    return long
+
+
+def build_all_player_batch_metrics(rows: pa.Table, k: int) -> pa.Table:
+    """Reduce a rows table into the per-batch sufficient-statistic frame."""
+    df = rows.to_pandas()
+    long = melt_rows_to_exposures(df, k)
+
+    long["exact_return"] = long["score"] / long["n_turns"]
+    long["proxy_return"] = long["score"] / long["n_rounds"]
+    long["turn_diff"] = long["n_turns"] - long["n_rounds"]
+
+    keys = ["root_seed", "k", "deterministic_batch_id", "strategy"]
+    g = long.groupby(keys, sort=True)
+
+    agg = pd.DataFrame(
+        {
+            "raw_player_game_exposures": g.size(),
+            "raw_completed_player_game_exposures": g["completed"].sum(),
+            "raw_wins": g["won"].sum(),
+            "raw_max_round_abort_exposures": g["hit_max_rounds"].sum(),
+            "raw_final_score_sum": g["score"].sum(),
+            "raw_final_score_square_sum": (
+                long.assign(sq=long["score"] ** 2).groupby(keys)["sq"].sum()
+            ),
+            "raw_n_turns_sum": g["n_turns"].sum(),
+            "raw_n_turns_square_sum": (
+                long.assign(sq=long["n_turns"] ** 2).groupby(keys)["sq"].sum()
+            ),
+            "raw_turn_return_game_weighted_exact_sum": g["exact_return"].sum(),
+            "raw_turn_return_game_weighted_exact_square_sum": (
+                long.assign(sq=long["exact_return"] ** 2).groupby(keys)["sq"].sum()
+            ),
+            "raw_turn_return_round_proxy_sum": g["proxy_return"].sum(),
+            "raw_turn_return_round_proxy_square_sum": (
+                long.assign(sq=long["proxy_return"] ** 2).groupby(keys)["sq"].sum()
+            ),
+            "raw_turn_round_mismatch_count": (
+                long.assign(m=(long["turn_diff"] != 0)).groupby(keys)["m"].sum()
+            ),
+            "raw_turn_minus_rounds_sum": g["turn_diff"].sum(),
+            "raw_turn_minus_rounds_square_sum": (
+                long.assign(sq=long["turn_diff"] ** 2).groupby(keys)["sq"].sum()
+            ),
+        }
+    )
+    agg["raw_safety_limit_player_game_exposures"] = (
+        agg["raw_player_game_exposures"] - agg["raw_completed_player_game_exposures"]
+    )
+    agg["raw_losses"] = agg["raw_player_game_exposures"] - agg["raw_wins"]
+
+    for suffix in BEHAVIOR_SUFFIXES:
+        col = long[suffix]
+        obs = col.notna()
+        agg[f"raw_{suffix}_observations"] = (
+            long.assign(o=obs).groupby(keys)["o"].sum()
+        )
+        agg[f"raw_{suffix}_sum"] = (
+            long.assign(v=col.fillna(0.0)).groupby(keys)["v"].sum()
+        )
+        agg[f"raw_{suffix}_square_sum"] = (
+            long.assign(v=(col.fillna(0.0) ** 2)).groupby(keys)["v"].sum()
+        )
+
+    # conservation checks (reference _finish_row:240-250)
+    if (
+        agg["raw_player_game_exposures"]
+        != agg["raw_completed_player_game_exposures"]
+        + agg["raw_safety_limit_player_game_exposures"]
+    ).any():
+        raise ValueError("attempted exposures must equal completed plus safety-limit")
+    if (agg["raw_wins"] > agg["raw_completed_player_game_exposures"]).any():
+        raise ValueError("win/loss exposure conservation failed")
+    if (
+        agg["raw_max_round_abort_exposures"]
+        != agg["raw_safety_limit_player_game_exposures"]
+    ).any():
+        raise ValueError("maximum-round exposure count disagrees with termination status")
+
+    # derived estimators
+    exp = agg["raw_player_game_exposures"].astype(float)
+    comp = agg["raw_completed_player_game_exposures"].astype(float)
+    turns = agg["raw_n_turns_sum"]
+    agg["turn_return_turn_weighted"] = agg["raw_final_score_sum"] / turns.where(turns > 0)
+    agg["turn_return_game_weighted_exact"] = (
+        agg["raw_turn_return_game_weighted_exact_sum"] / exp.where(exp > 0)
+    )
+    agg["turn_return_round_proxy"] = (
+        agg["raw_turn_return_round_proxy_sum"] / exp.where(exp > 0)
+    )
+    agg["round_proxy_gap"] = (
+        agg["turn_return_round_proxy"] - agg["turn_return_game_weighted_exact"]
+    )
+    agg["round_proxy_relative_gap"] = agg["round_proxy_gap"] / agg[
+        "turn_return_game_weighted_exact"
+    ].where(agg["turn_return_game_weighted_exact"] != 0)
+    agg["turn_round_mismatch_prevalence"] = (
+        agg["raw_turn_round_mismatch_count"] / exp.where(exp > 0)
+    )
+    agg["win_rate_per_attempt"] = agg["raw_wins"] / exp.where(exp > 0)
+    agg["win_rate_given_completion"] = agg["raw_wins"] / comp.where(comp > 0)
+    agg["safety_limit_exposure_rate"] = (
+        agg["raw_safety_limit_player_game_exposures"] / exp.where(exp > 0)
+    )
+
+    agg = agg.reset_index()
+    schema = all_player_batch_schema()
+    table = pa.Table.from_pandas(agg, preserve_index=False).select(schema.names).cast(schema)
+    validate_unconditional_all_player_schema(table.schema)
+    return table
+
+
+def run_for_k(cfg: AppConfig, k: int, *, force: bool = False) -> None:
+    stage_sha = compute_stage_config_sha(cfg, "metrics")
+    out = cfg.batch_metrics_path(k)
+    state = resolve_stage_state(
+        out.parent, f"batch_metrics_{k}p", config_sha=stage_sha,
+        freshness_key=cfg.freshness_key(),
+    )
+    if state == StageState.COMPLETE_VALID and not force:
+        logger.info("batch metrics k=%d up to date", k)
+        return
+    src = cfg.curated_rows_path(k)
+    rows = read_parquet_artifact(src, expected_producer="curate")
+    table = build_all_player_batch_metrics(rows, k)
+    write_parquet_artifact_atomic(
+        table, out, producer="metrics", scope="by_k",
+        metadata={
+            "k": k, "conditioning": ATTEMPT_CONDITIONING, "n_rows": table.num_rows,
+        },
+    )
+    write_stage_done(
+        out.parent, f"batch_metrics_{k}p", inputs=[src], outputs=[out],
+        config_sha=stage_sha, freshness_key=cfg.freshness_key(),
+    )
+    logger.info("batch metrics k=%d: %d strategy-batch rows", k, table.num_rows)

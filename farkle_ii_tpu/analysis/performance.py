@@ -1,0 +1,567 @@
+"""Canonical performance estimators from batch sufficient statistics.
+
+Parity targets (``/root/reference/src/farkle/analysis/performance.py``):
+
+* per-k estimates (``:107``): win rate per attempt, chance delta vs 1/k,
+  Wilson interval + resolution check, deterministic-batch MCSE with a
+  t-interval;
+* complete-support across-k frame (``:200``): equal-k mean of chance deltas,
+  pooled MCSE, minimum/worst-k, exact Pareto membership (``:172``), maximin
+  leader;
+* joint deterministic-batch-vector resampling (``:336``): namespace-400
+  coordinate bootstrap over batch indices, producing rank mean/sd, top-N and
+  shortlist inclusion probabilities, and control contrasts;
+* player-count effect diagnostics (``:472``): chance-relative log odds,
+  within-k spreads, pairwise-k contrasts and rank agreement.
+
+Everything is vectorized NumPy/pandas — the math is small once the device
+has produced the batch sufficient statistics.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from math import sqrt
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from scipy.stats import kendalltau, norm, spearmanr, t as t_dist
+
+from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
+from farkle_ii_tpu.ops.rng import RandomPurpose, coordinate_numpy_rng
+from farkle_ii_tpu.utils.artifacts import (
+    read_parquet_artifact,
+    write_parquet_artifact_atomic,
+)
+from farkle_ii_tpu.utils.stage_completion import (
+    StageState,
+    resolve_stage_state,
+    write_stage_done,
+)
+from farkle_ii_tpu.utils.stats import wilson_ci
+
+logger = logging.getLogger(__name__)
+
+ALPHA = 0.05
+
+
+@dataclass(frozen=True)
+class PerformanceArtifacts:
+    by_k: dict[int, Path]
+    across_k: Path
+    bootstrap: Path
+    control_contrasts: Path
+    player_count_effects: Path
+
+
+def estimate_one_k(
+    frame: pd.DataFrame, k: int, resolution_delta: float, practical_delta: float
+) -> pd.DataFrame:
+    """Per-strategy estimates for one player count (reference ``:107``)."""
+    chance = 1.0 / k
+    g = frame.groupby("strategy", sort=True)
+    wins = g["raw_wins"].sum()
+    exposures = g["raw_player_game_exposures"].sum()
+    completed = g["raw_completed_player_game_exposures"].sum()
+    safety = g["raw_safety_limit_player_game_exposures"].sum()
+    losses = g["raw_losses"].sum()
+    batches = g["deterministic_batch_id"].nunique()
+    rate = wins / exposures
+
+    # batch MCSE: per-strategy std over batch rates / sqrt(B)
+    frame = frame.assign(
+        batch_rate=frame["raw_wins"] / frame["raw_player_game_exposures"]
+    )
+    mcse = frame.groupby("strategy", sort=True)["batch_rate"].std(ddof=1) / np.sqrt(
+        batches
+    )
+    critical = batches.map(lambda b: float(t_dist.ppf(1 - ALPHA / 2, b - 1)) if b >= 2 else np.nan)
+    interval_low = np.maximum(0.0, rate - critical * mcse)
+    interval_high = np.minimum(1.0, rate + critical * mcse)
+
+    wilson = np.array(
+        [wilson_ci(int(w), int(n), alpha=ALPHA) for w, n in zip(wins, exposures)]
+    )
+    width = wilson[:, 1] - wilson[:, 0]
+
+    out = pd.DataFrame(
+        {
+            "root_seed": int(frame["root_seed"].iloc[0]),
+            "k": k,
+            "strategy": wins.index.astype(int),
+            "chance_baseline": chance,
+            "raw_wins": wins.to_numpy(),
+            "raw_exposures": exposures.to_numpy(),
+            "raw_attempted_exposures": exposures.to_numpy(),
+            "raw_completed_exposures": completed.to_numpy(),
+            "raw_safety_limit_exposures": safety.to_numpy(),
+            "raw_losses": losses.to_numpy(),
+            "raw_batches": batches.to_numpy(),
+            "win_rate_per_attempt": rate.to_numpy(),
+            "win_rate": rate.to_numpy(),
+            "win_rate_given_completion": (
+                wins / completed.where(completed > 0)
+            ).to_numpy(),
+            "safety_limit_exposure_rate": (safety / exposures).to_numpy(),
+            "chance_delta": (rate - chance).to_numpy(),
+            "wilson_interval_low": wilson[:, 0],
+            "wilson_interval_high": wilson[:, 1],
+            "wilson_interval_width": width,
+            "screening_resolution_delta": resolution_delta,
+            "practical_delta_by_k": practical_delta,
+            "wilson_resolution_met": width <= resolution_delta,
+            "batch_mcse": mcse.to_numpy(),
+            "batch_interval_low": interval_low.to_numpy(),
+            "batch_interval_high": interval_high.to_numpy(),
+        }
+    ).reset_index(drop=True)
+    return out
+
+
+def pareto_membership(values: np.ndarray, strategies: np.ndarray) -> np.ndarray:
+    """Exact Pareto frontier membership over per-k delta vectors."""
+    count = len(strategies)
+    membership = np.zeros(count, dtype=bool)
+    if count == 0:
+        return membership
+    order = np.lexsort((strategies, -values[:, 0]))
+    frontier: list[int] = []
+    for candidate in order:
+        point = values[candidate]
+        dominated = False
+        retained: list[int] = []
+        for incumbent in frontier:
+            ip = values[incumbent]
+            if np.all(ip >= point) and np.any(ip > point):
+                dominated = True
+                break
+            if not (np.all(point >= ip) and np.any(point > ip)):
+                retained.append(incumbent)
+        if dominated:
+            continue
+        frontier = retained
+        frontier.append(int(candidate))
+    membership[np.asarray(frontier, dtype=int)] = True
+    return membership
+
+
+def across_k_estimates(
+    by_k: dict[int, pd.DataFrame], required_k: list[int], practical_delta: float
+) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
+    """Complete-support equal-k frame + delta vectors (reference ``:200``)."""
+    indexed = {k: f.set_index("strategy") for k, f in by_k.items()}
+    all_strategies = sorted(set().union(*(set(f.index) for f in indexed.values())))
+    root_seed = int(next(iter(by_k.values()))["root_seed"].iloc[0])
+    count_columns = (
+        "raw_wins",
+        "raw_attempted_exposures",
+        "raw_completed_exposures",
+        "raw_safety_limit_exposures",
+        "raw_losses",
+    )
+    rows = []
+    complete_strategies: list[int] = []
+    complete_vectors: list[list[float]] = []
+    for strategy in all_strategies:
+        support = [k for k in required_k if strategy in indexed[k].index]
+        complete = support == required_k
+        row: dict = {
+            "root_seed": root_seed,
+            "strategy": int(strategy),
+            "required_k_count": len(required_k),
+            "support_k_count": len(support),
+            "complete_support": complete,
+            **dict.fromkeys(count_columns),
+            "safety_limit_exposure_rate": None,
+            "practical_delta_across_k": practical_delta,
+            "equal_k_score": None,
+            "equal_k_mcse": None,
+            "equal_k_interval_low": None,
+            "equal_k_interval_high": None,
+            "minimum_chance_delta": None,
+            "worst_k": None,
+            "pareto_member": False,
+            "maximin_value": None,
+            "maximin_leader": False,
+        }
+        if complete:
+            deltas = np.array(
+                [float(indexed[k].loc[strategy, "chance_delta"]) for k in required_k]
+            )
+            variances = np.array(
+                [float(indexed[k].loc[strategy, "batch_mcse"]) ** 2 for k in required_k]
+            )
+            score = float(deltas.mean())
+            mcse = float(sqrt(np.sum(variances) / len(required_k) ** 2))
+            critical = float(norm.ppf(1 - ALPHA / 2))
+            worst_index = int(np.argmin(deltas))
+            row.update(
+                {
+                    **{
+                        col: int(
+                            sum(indexed[k].loc[strategy, col] for k in required_k)
+                        )
+                        for col in count_columns
+                    },
+                    "equal_k_score": score,
+                    "equal_k_mcse": mcse,
+                    "equal_k_interval_low": score - critical * mcse,
+                    "equal_k_interval_high": score + critical * mcse,
+                    "minimum_chance_delta": float(deltas[worst_index]),
+                    "worst_k": required_k[worst_index],
+                    "maximin_value": float(deltas[worst_index]),
+                }
+            )
+            row["safety_limit_exposure_rate"] = (
+                row["raw_safety_limit_exposures"] / row["raw_attempted_exposures"]
+            )
+            complete_strategies.append(int(strategy))
+            complete_vectors.append(deltas.tolist())
+        rows.append(row)
+    output = pd.DataFrame(rows)
+    strategies_array = np.asarray(complete_strategies, dtype=np.int64)
+    vectors = np.asarray(complete_vectors, dtype=float)
+    if len(complete_strategies):
+        pareto = pareto_membership(vectors, strategies_array)
+        output.loc[output["strategy"].isin(strategies_array[pareto]), "pareto_member"] = True
+        minima = vectors.min(axis=1)
+        tied = strategies_array[np.isclose(minima, float(minima.max()), rtol=0.0, atol=1e-15)]
+        output.loc[output["strategy"] == int(tied.min()), "maximin_leader"] = True
+    return output, strategies_array, vectors
+
+
+def _batch_arrays(
+    frames: dict[int, pd.DataFrame], strategies: np.ndarray
+) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+    arrays = {}
+    cols = strategies.tolist()
+    for k, frame in frames.items():
+        wins = (
+            frame.pivot(index="deterministic_batch_id", columns="strategy", values="raw_wins")
+            .reindex(columns=cols)
+            .fillna(0)
+        )
+        exposures = (
+            frame.pivot(
+                index="deterministic_batch_id",
+                columns="strategy",
+                values="raw_player_game_exposures",
+            )
+            .reindex(index=wins.index, columns=cols)
+            .fillna(0)
+        )
+        arrays[k] = (wins.to_numpy(dtype=float), exposures.to_numpy(dtype=float))
+    return arrays
+
+
+def joint_batch_resampling(
+    cfg: AppConfig,
+    frames: dict[int, pd.DataFrame],
+    across: pd.DataFrame,
+    strategies: np.ndarray,
+    required_k: list[int],
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Namespace-400 joint batch bootstrap (reference ``:336``)."""
+    replicates = cfg.screening.bootstrap_replicates
+    delta = cfg.screening.delta_across_k
+    arrays = _batch_arrays(frames, strategies)
+    s_count = len(strategies)
+    top_n = min(cfg.screening.candidate_contribution_size, s_count)
+    rank_sum = np.zeros(s_count)
+    rank_sq = np.zeros(s_count)
+    top_counts = np.zeros(s_count, dtype=np.int64)
+    shortlist_counts = np.zeros(s_count, dtype=np.int64)
+    controls = np.asarray(sorted(set(cfg.screening.controls)), dtype=np.int64)
+    missing = sorted(set(controls.tolist()) - set(strategies.tolist()))
+    if missing:
+        raise ValueError(f"declared controls lack complete k support: {missing}")
+    control_idx = [int(np.flatnonzero(strategies == c)[0]) for c in controls]
+    contrast_sum = np.zeros((len(controls), s_count))
+    contrast_sq = np.zeros((len(controls), s_count))
+    root_seed = int(across["root_seed"].iloc[0])
+
+    for replicate in range(replicates):
+        scores = np.zeros(s_count)
+        for k in required_k:
+            wins, exposures = arrays[k]
+            b = wins.shape[0]
+            rng = coordinate_numpy_rng(
+                RandomPurpose.BOOTSTRAP, root_seed=root_seed, k=k,
+                replicate_index=replicate,
+            )
+            selected = rng.integers(0, b, size=b)
+            tw = wins[selected].sum(axis=0)
+            te = exposures[selected].sum(axis=0)
+            if np.any(te <= 0):
+                raise ValueError("joint resampling produced zero complete-support exposure")
+            scores += tw / te - 1.0 / k
+        scores /= len(required_k)
+        order = np.lexsort((strategies, -scores))
+        ranks = np.empty(s_count, dtype=np.int64)
+        ranks[order] = np.arange(1, s_count + 1)
+        rank_sum += ranks
+        rank_sq += ranks * ranks
+        top_counts[order[:top_n]] += 1
+        shortlist_counts += scores >= scores.max() - delta
+        for pos, ci in enumerate(control_idx):
+            contrasts = scores - scores[ci]
+            contrast_sum[pos] += contrasts
+            contrast_sq[pos] += contrasts * contrasts
+
+    div = float(replicates)
+    rank_mean = rank_sum / div
+    rank_var = np.maximum(rank_sq / div - rank_mean**2, 0.0)
+    bootstrap = pd.DataFrame(
+        {
+            "root_seed": root_seed,
+            "strategy": strategies,
+            "bootstrap_replicates": replicates,
+            "bootstrap_rank_mean": rank_mean,
+            "bootstrap_rank_sd": np.sqrt(rank_var),
+            "top_n_size": top_n,
+            "top_n_inclusion_probability": top_counts / div,
+            "shortlist_delta": delta,
+            "shortlist_inclusion_probability": shortlist_counts / div,
+        }
+    )
+    complete = across.loc[across["complete_support"]]
+    observed = dict(
+        zip(complete["strategy"].astype(int), complete["equal_k_score"].astype(float))
+    )
+    contrast_rows = []
+    for pos, control in enumerate(controls):
+        means = contrast_sum[pos] / div
+        variances = np.maximum(contrast_sq[pos] / div - means**2, 0.0)
+        for idx, strategy in enumerate(strategies):
+            contrast_rows.append(
+                {
+                    "root_seed": root_seed,
+                    "strategy": int(strategy),
+                    "control_strategy": int(control),
+                    "observed_equal_k_contrast": observed[int(strategy)]
+                    - observed[int(control)],
+                    "bootstrap_contrast_mean": float(means[idx]),
+                    "bootstrap_contrast_sd": float(sqrt(variances[idx])),
+                    "bootstrap_replicates": replicates,
+                }
+            )
+    contrast_cols = [
+        "root_seed", "strategy", "control_strategy", "observed_equal_k_contrast",
+        "bootstrap_contrast_mean", "bootstrap_contrast_sd", "bootstrap_replicates",
+    ]
+    return bootstrap, pd.DataFrame(contrast_rows, columns=contrast_cols)
+
+
+def declared_k_weights(cfg: AppConfig, required_k: list[int]) -> dict[int, float]:
+    if cfg.k_aggregation.method == "equal-k":
+        return dict.fromkeys(required_k, 1.0 / len(required_k))
+    weights = cfg.k_aggregation.k_weights
+    if weights is None or {int(k) for k in weights} != set(required_k):
+        raise ValueError("declared player-count weights must cover complete configured support")
+    return {int(k): float(weights[k]) for k in required_k}
+
+
+def chance_relative_log_odds(win_rate: float, k: int) -> float | None:
+    if not 0.0 < win_rate < 1.0:
+        return None
+    chance = 1.0 / k
+    return float(np.log(win_rate / (1 - win_rate)) - np.log(chance / (1 - chance)))
+
+
+def player_count_effect_diagnostics(
+    cfg: AppConfig, estimates: dict[int, pd.DataFrame], required_k: list[int]
+) -> pd.DataFrame:
+    """Cross-k effect diagnostics (reference ``:472``)."""
+    complete = sorted(
+        set.intersection(*(set(f["strategy"].astype(int)) for f in estimates.values()))
+    )
+    if not complete:
+        raise ValueError("player-count diagnostics require complete strategy support")
+    weights = declared_k_weights(cfg, required_k)
+    root_seed = int(next(iter(estimates.values()))["root_seed"].iloc[0])
+    indexed = {k: f.set_index("strategy") for k, f in estimates.items()}
+    values: dict[tuple[int, int], float | None] = {}
+    rows: list[dict] = []
+
+    def base(diagnostic_type: str) -> dict:
+        return {
+            "diagnostic_type": diagnostic_type, "root_seed": root_seed,
+            "strategy": None, "k": None, "k_a": None, "k_b": None,
+            "k_weight": None, "k_weight_a": None, "k_weight_b": None,
+            "win_rate": None, "chance_baseline": None,
+            "chance_relative_log_odds": None, "effect_available": None,
+            "unavailable_reason": None, "log_odds_contrast": None,
+            "finite_strategy_count": None, "boundary_unavailable_count": None,
+            "log_odds_sd": None, "log_odds_iqr": None,
+            "log_odds_top_minus_median": None,
+            "common_finite_strategy_count": None,
+            "spearman_rank_correlation": None, "kendall_rank_correlation": None,
+            "complete_configured_k_support": True,
+            "declared_k_method": cfg.k_aggregation.method,
+        }
+
+    for k in required_k:
+        for strategy in complete:
+            rate = float(indexed[k].loc[strategy, "win_rate"])
+            effect = chance_relative_log_odds(rate, k)
+            values[(k, strategy)] = effect
+            row = base("strategy_k_chance_relative_log_odds")
+            row.update(
+                {
+                    "strategy": strategy, "k": k, "k_weight": weights[k],
+                    "win_rate": rate, "chance_baseline": 1.0 / k,
+                    "chance_relative_log_odds": effect,
+                    "effect_available": effect is not None,
+                    "unavailable_reason": (
+                        None if effect is not None
+                        else "boundary_win_rate_log_odds_unavailable"
+                    ),
+                }
+            )
+            rows.append(row)
+        finite = np.asarray(
+            [values[(k, s)] for s in complete if values[(k, s)] is not None], dtype=float
+        )
+        spread = base("within_k_strategy_spread")
+        spread.update(
+            {
+                "k": k, "k_weight": weights[k],
+                "finite_strategy_count": int(finite.size),
+                "boundary_unavailable_count": len(complete) - int(finite.size),
+                "log_odds_sd": float(np.std(finite, ddof=1)) if finite.size >= 2 else None,
+                "log_odds_iqr": (
+                    float(np.quantile(finite, 0.75) - np.quantile(finite, 0.25))
+                    if finite.size else None
+                ),
+                "log_odds_top_minus_median": (
+                    float(np.max(finite) - np.median(finite)) if finite.size else None
+                ),
+            }
+        )
+        rows.append(spread)
+
+    for i, k_a in enumerate(required_k):
+        for k_b in required_k[i + 1 :]:
+            common = [
+                s for s in complete
+                if values[(k_a, s)] is not None and values[(k_b, s)] is not None
+            ]
+            for s in complete:
+                left, right = values[(k_a, s)], values[(k_b, s)]
+                row = base("strategy_pairwise_k_contrast")
+                row.update(
+                    {
+                        "strategy": s, "k_a": k_a, "k_b": k_b,
+                        "k_weight_a": weights[k_a], "k_weight_b": weights[k_b],
+                        "effect_available": left is not None and right is not None,
+                        "unavailable_reason": (
+                            None if left is not None and right is not None
+                            else "boundary_win_rate_log_odds_unavailable"
+                        ),
+                        "log_odds_contrast": (
+                            float(left - right)
+                            if left is not None and right is not None else None
+                        ),
+                    }
+                )
+                rows.append(row)
+            a = np.asarray([values[(k_a, s)] for s in common], dtype=float)
+            b = np.asarray([values[(k_b, s)] for s in common], dtype=float)
+            rank_row = base("pairwise_k_rank_agreement")
+            rank_row.update(
+                {
+                    "k_a": k_a, "k_b": k_b,
+                    "k_weight_a": weights[k_a], "k_weight_b": weights[k_b],
+                    "common_finite_strategy_count": len(common),
+                    "spearman_rank_correlation": (
+                        float(spearmanr(a, b).statistic) if len(common) >= 2 else None
+                    ),
+                    "kendall_rank_correlation": (
+                        float(kendalltau(a, b).statistic) if len(common) >= 2 else None
+                    ),
+                }
+            )
+            rows.append(rank_row)
+    return pd.DataFrame(rows)
+
+
+def _publish(cfg: AppConfig, frame: pd.DataFrame, path: Path, *, scope: str, op: str):
+    table = pa.Table.from_pandas(frame, preserve_index=False)
+    write_parquet_artifact_atomic(
+        table, path, producer="performance", scope=scope,
+        metadata={
+            "operation": op,
+            "baseline": "chance_1_over_k",
+            "replication_unit": "deterministic_shuffle_batch",
+            "conditioning": "all_attempted_player_game_exposures_safety_limit_is_loss",
+        },
+    )
+
+
+def build_canonical_performance(cfg: AppConfig, *, force: bool = False) -> PerformanceArtifacts:
+    """Build per-k, equal-k across-k, bootstrap and diagnostic artifacts."""
+    required_k = sorted({int(k) for k in cfg.sim.n_players_list})
+    practical = {int(k): float(v) for k, v in cfg.screening.practical_delta_by_k.items()}
+    if set(practical) != set(required_k):
+        raise ValueError(
+            "screening.practical_delta_by_k must cover complete configured k support"
+        )
+    artifacts = PerformanceArtifacts(
+        by_k={k: cfg.performance_by_k_path(k) for k in required_k},
+        across_k=cfg.performance_across_k_path(),
+        bootstrap=cfg.performance_bootstrap_path(),
+        control_contrasts=cfg.performance_control_contrasts_path(),
+        player_count_effects=cfg.performance_player_count_effects_path(),
+    )
+    stage_sha = compute_stage_config_sha(cfg, "metrics")
+    stage_dir = cfg.performance_dir()
+    state = resolve_stage_state(
+        stage_dir, "canonical_performance", config_sha=stage_sha,
+        freshness_key=cfg.freshness_key(),
+    )
+    if state == StageState.COMPLETE_VALID and not force:
+        logger.info("canonical performance up to date")
+        return artifacts
+
+    frames = {
+        k: read_parquet_artifact(
+            cfg.batch_metrics_path(k), expected_producer="metrics"
+        ).to_pandas()
+        for k in required_k
+    }
+    by_k = {
+        k: estimate_one_k(
+            frames[k], k, cfg.screening.resolution_delta, practical[k]
+        )
+        for k in required_k
+    }
+    for k in required_k:
+        _publish(cfg, by_k[k], artifacts.by_k[k], scope="by_k", op="estimate_one_k")
+    across, strategies, _ = across_k_estimates(
+        by_k, required_k, cfg.screening.delta_across_k
+    )
+    _publish(cfg, across, artifacts.across_k, scope="across_k", op="equal_k_mean")
+    bootstrap, contrasts = joint_batch_resampling(cfg, frames, across, strategies, required_k)
+    _publish(cfg, bootstrap, artifacts.bootstrap, scope="across_k", op="joint_batch_bootstrap")
+    _publish(
+        cfg, contrasts, artifacts.control_contrasts, scope="across_k",
+        op="control_contrasts",
+    )
+    effects = player_count_effect_diagnostics(cfg, by_k, required_k)
+    _publish(
+        cfg, effects, artifacts.player_count_effects, scope="across_k",
+        op="player_count_effects",
+    )
+    write_stage_done(
+        stage_dir, "canonical_performance",
+        inputs=[cfg.batch_metrics_path(k) for k in required_k],
+        outputs=[
+            *artifacts.by_k.values(), artifacts.across_k, artifacts.bootstrap,
+            artifacts.control_contrasts, artifacts.player_count_effects,
+        ],
+        config_sha=stage_sha, freshness_key=cfg.freshness_key(),
+    )
+    return artifacts

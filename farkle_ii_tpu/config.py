@@ -299,8 +299,44 @@ class AppConfig:
     def performance_dir(self) -> Path:
         return self.scope_dir("across_k") / "performance"
 
+    def performance_by_k_path(self, k: int) -> Path:
+        return self.performance_dir() / f"performance_by_k_{k}p.parquet"
+
+    def performance_across_k_path(self) -> Path:
+        return self.performance_dir() / "performance_across_k.parquet"
+
+    def performance_bootstrap_path(self) -> Path:
+        return self.performance_dir() / "performance_bootstrap.parquet"
+
+    def performance_control_contrasts_path(self) -> Path:
+        return self.performance_dir() / "performance_control_contrasts.parquet"
+
+    def performance_player_count_effects_path(self) -> Path:
+        return self.performance_dir() / "performance_player_count_effects.parquet"
+
     def seat_analysis_dir(self) -> Path:
         return self.scope_dir("across_k") / "seat_analysis"
+
+    def seat_batch_counts_path(self, k: int) -> Path:
+        return self.scope_dir("by_k") / f"{k}p" / f"{k}p_seat_batch_counts.parquet"
+
+    def seat_effects_by_k_path(self, k: int) -> Path:
+        return self.scope_dir("by_k") / f"{k}p" / f"{k}p_seat_effects.parquet"
+
+    def seat_population_by_k_path(self, k: int) -> Path:
+        return self.scope_dir("by_k") / f"{k}p" / f"{k}p_seat_population_effects.parquet"
+
+    def seat_standardized_across_k_path(self) -> Path:
+        return self.seat_analysis_dir() / "seat_standardized_across_k.parquet"
+
+    def seat_exposure_mixture_diagnostic_path(self) -> Path:
+        return self.scope_dir("diagnostics") / "seat_exposure_mixture.parquet"
+
+    def seat_selfplay_diagnostic_path(self) -> Path:
+        return self.scope_dir("diagnostics") / "seat_selfplay_p1.parquet"
+
+    def seat_mirrored_diagnostic_path(self) -> Path:
+        return self.scope_dir("diagnostics") / "seat_mirrored_games.parquet"
 
     def trueskill_dir(self) -> Path:
         return self.scope_dir("by_k") / "trueskill"

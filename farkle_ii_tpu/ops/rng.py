@@ -283,6 +283,50 @@ def h2h_player_key(
     )
 
 
+def coordinate_numpy_rng(
+    purpose: RandomPurpose | int,
+    *,
+    root_seed: int,
+    k: int = 0,
+    shuffle_index: int = 0,
+    pair_id: int = 0,
+    order: int = 0,
+    game_index: int = 0,
+    seat_index: int = 0,
+    replicate_index: int = 0,
+):
+    """Host-side coordinate-addressed NumPy generator (analysis randomness).
+
+    Device streams are threefry; host-side statistical machinery (bootstrap
+    resampling, HGB folds, TrueSkill diagnostics) uses NumPy generators
+    seeded from a ``SeedSequence`` whose entropy is the same
+    ``(scheme, purpose, *uint32-pairs)`` coordinate layout as the reference
+    contract (``utils/random.py:80-188``) — addressable, independent, and
+    never derived from execution order.
+    """
+    import numpy as np
+
+    try:
+        namespace = RandomPurpose(int(purpose))
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"unregistered RNG purpose namespace: {purpose!r}") from exc
+    entropy: list[int] = [RNG_SCHEME_VERSION, int(namespace)]
+    values = {
+        "root_seed": root_seed,
+        "k": k,
+        "shuffle_index": shuffle_index,
+        "pair_id": pair_id,
+        "order": order,
+        "game_index": game_index,
+        "seat_index": seat_index,
+        "replicate_index": replicate_index,
+    }
+    for name in COORDINATE_ORDER:
+        value = _validate_coordinate(values[name], name)
+        entropy.extend([value & MAX_UINT32, value >> 32])
+    return np.random.Generator(np.random.PCG64DXSM(np.random.SeedSequence(entropy)))
+
+
 def coordinate_fingerprint(
     purpose: RandomPurpose | int,
     *,
