@@ -1,0 +1,304 @@
+"""Sequential TrueSkill ratings per (root, k) + screening contribution.
+
+Reference parity (``/root/reference/src/farkle/analysis/run_trueskill.py``):
+
+* curated rows are consumed in deterministic coordinate order
+  ``(shuffle_index, game_index)``; safety-limit games are excluded from
+  rating (they have no ranking);
+* per-block checkpoints keyed by ``deterministic_batch_id`` make the
+  inherently-serial pass resumable (``:420 _BlockCkpt`` analogue);
+* outputs ``ratings_{k}_seed{root}.parquet`` with ``{strategy, mu, sigma}``
+  (sigma is model state, not cross-k sampling uncertainty);
+* cross-k candidate contribution = complete-support mean of normalized
+  within-cell percentile ranks of mu (``trueskill_screening.py:301``);
+* diagnostics: reversed-order rank correlation, tau-zero refit max-mu shift,
+  held-out top-1 predictive accuracy (``:463-642`` analogues).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from scipy.stats import spearmanr
+
+from farkle_ii_tpu.analysis.trueskill_model import Rating, TrueSkillEnv
+from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
+from farkle_ii_tpu.utils.artifacts import (
+    read_parquet_artifact,
+    write_parquet_artifact_atomic,
+)
+from farkle_ii_tpu.utils.stage_completion import (
+    StageState,
+    resolve_stage_state,
+    write_stage_done,
+)
+from farkle_ii_tpu.utils.writer import write_json_atomic
+
+logger = logging.getLogger(__name__)
+
+TRUESKILL_METHOD_VERSION = 2
+TRUESKILL_CONDITIONING = "completed_games_only_safety_limit_excluded"
+
+
+def ratings_path(cfg: AppConfig, k: int) -> Path:
+    return cfg.trueskill_dir() / f"ratings_{k}_seed{cfg.sim.seed}.parquet"
+
+
+def contribution_path(cfg: AppConfig) -> Path:
+    return cfg.scope_dir("across_k") / "trueskill" / "candidate_percentile_contribution.parquet"
+
+
+def diagnostics_path(cfg: AppConfig, k: int) -> Path:
+    return cfg.scope_dir("diagnostics") / f"trueskill_diagnostics_{k}p.json"
+
+
+def _game_arrays(rows: pd.DataFrame, k: int):
+    """Sorted (coordinate-ordered) completed games as numpy arrays."""
+    rows = rows.sort_values(["shuffle_index", "game_index"], kind="mergesort")
+    completed = rows["termination_status"] == "completed"
+    rows = rows[completed]
+    strategies = np.stack(
+        [rows[f"P{s}_strategy"].to_numpy(dtype=np.int64) for s in range(1, k + 1)],
+        axis=1,
+    )
+    ranks = np.stack(
+        [rows[f"P{s}_rank"].to_numpy(dtype=np.int64) for s in range(1, k + 1)], axis=1
+    )
+    batches = rows["deterministic_batch_id"].to_numpy(dtype=np.int64)
+    return strategies, ranks, batches
+
+
+def rate_games(
+    env: TrueSkillEnv,
+    strategies: np.ndarray,
+    ranks: np.ndarray,
+    *,
+    ratings: dict[int, Rating] | None = None,
+) -> dict[int, Rating]:
+    """Sequential rating pass over completed games."""
+    ratings = dict(ratings or {})
+    k = strategies.shape[1]
+    for g in range(strategies.shape[0]):
+        sids = strategies[g]
+        current = [ratings.get(int(s)) or env.create_rating() for s in sids]
+        updated = env.rate(current, [int(r) for r in ranks[g]])
+        for s, r in zip(sids, updated):
+            ratings[int(s)] = r
+    return ratings
+
+
+def _ratings_frame(ratings: dict[int, Rating], root_seed: int, k: int) -> pd.DataFrame:
+    items = sorted(ratings.items())
+    return pd.DataFrame(
+        {
+            "root_seed": root_seed,
+            "k": k,
+            "strategy": [s for s, _ in items],
+            "mu": [r.mu for _, r in items],
+            "sigma": [r.sigma for _, r in items],
+        }
+    )
+
+
+def _block_ckpt_path(cfg: AppConfig, k: int, batch_id: int) -> Path:
+    return cfg.trueskill_dir() / "blocks" / f"ts_{k}p_block_{batch_id:06d}.json"
+
+
+def run_cell(cfg: AppConfig, k: int, *, force: bool = False) -> pd.DataFrame:
+    """Rate one (root, k) cell with per-block resumable checkpoints."""
+    env = TrueSkillEnv(
+        beta=cfg.trueskill.beta,
+        tau=cfg.trueskill.tau,
+        draw_probability=cfg.trueskill.draw_probability,
+    )
+    rows = read_parquet_artifact(
+        cfg.curated_rows_path(k), expected_producer="curate"
+    ).to_pandas()
+    strategies, ranks, batches = _game_arrays(rows, k)
+    unique_batches = sorted(set(int(b) for b in batches))
+
+    ratings: dict[int, Rating] = {}
+    start_index = 0
+    if not force:
+        # resume from the last contiguous completed block checkpoint
+        for i, b in enumerate(unique_batches):
+            path = _block_ckpt_path(cfg, k, b)
+            if not path.exists():
+                break
+            try:
+                state = json.loads(path.read_text())
+                ratings = {
+                    int(s): Rating(v["mu"], v["sigma"])
+                    for s, v in state["ratings"].items()
+                }
+                start_index = i + 1
+            except (json.JSONDecodeError, KeyError):
+                break
+    for b in unique_batches[start_index:]:
+        mask = batches == b
+        ratings = rate_games(env, strategies[mask], ranks[mask], ratings=ratings)
+        write_json_atomic(
+            _block_ckpt_path(cfg, k, b),
+            {
+                "k": k,
+                "batch_id": b,
+                "method_version": TRUESKILL_METHOD_VERSION,
+                "ratings": {
+                    str(s): {"mu": r.mu, "sigma": r.sigma} for s, r in ratings.items()
+                },
+            },
+        )
+    return _ratings_frame(ratings, cfg.sim.seed, k)
+
+
+def build_diagnostics(cfg: AppConfig, k: int, forward: pd.DataFrame) -> dict:
+    """Order-sensitivity + tau-zero + held-out calibration diagnostics."""
+    env = TrueSkillEnv(beta=cfg.trueskill.beta, tau=cfg.trueskill.tau)
+    rows = read_parquet_artifact(
+        cfg.curated_rows_path(k), expected_producer="curate"
+    ).to_pandas()
+    strategies, ranks, batches = _game_arrays(rows, k)
+
+    # reversed-order refit: rank correlation with the forward pass
+    reversed_ratings = rate_games(env, strategies[::-1], ranks[::-1])
+    rev = _ratings_frame(reversed_ratings, cfg.sim.seed, k).set_index("strategy")
+    fwd = forward.set_index("strategy")
+    common = fwd.index.intersection(rev.index)
+    reversed_corr = (
+        float(spearmanr(fwd.loc[common, "mu"], rev.loc[common, "mu"]).statistic)
+        if len(common) >= 2
+        else None
+    )
+
+    # tau-zero refit: max |mu shift|
+    env0 = TrueSkillEnv(beta=cfg.trueskill.beta, tau=0.0)
+    zero_ratings = rate_games(env0, strategies, ranks)
+    zero = _ratings_frame(zero_ratings, cfg.sim.seed, k).set_index("strategy")
+    max_shift = (
+        float((fwd.loc[common, "mu"] - zero.loc[common, "mu"]).abs().max())
+        if len(common)
+        else None
+    )
+
+    # held-out predictive calibration: train on all but the last batch,
+    # predict winners of the last batch by max mu (ties -> no credit)
+    heldout_accuracy = None
+    if len(set(batches.tolist())) >= 2:
+        last = max(set(batches.tolist()))
+        train = batches != last
+        test = ~train
+        train_ratings = rate_games(env, strategies[train], ranks[train])
+        hits = 0
+        total = 0
+        for g in np.flatnonzero(test):
+            mus = np.array(
+                [
+                    (train_ratings.get(int(s)) or env.create_rating()).mu
+                    for s in strategies[g]
+                ]
+            )
+            predicted = int(np.argmax(mus))
+            actual = int(np.argmin(ranks[g]))
+            hits += int(predicted == actual)
+            total += 1
+        heldout_accuracy = hits / total if total else None
+
+    return {
+        "k": k,
+        "method_version": TRUESKILL_METHOD_VERSION,
+        "conditioning": TRUESKILL_CONDITIONING,
+        "games_rated": int(strategies.shape[0]),
+        "reversed_order_spearman": reversed_corr,
+        "tau_zero_max_mu_shift": max_shift,
+        "heldout_top1_accuracy": heldout_accuracy,
+        "heldout_chance_accuracy": 1.0 / k,
+    }
+
+
+def build_percentile_contribution(
+    cfg: AppConfig, frames: dict[int, pd.DataFrame]
+) -> pd.DataFrame:
+    """Complete-support mean of normalized within-cell percentile ranks."""
+    percentiles = {}
+    for k, frame in frames.items():
+        n = len(frame)
+        if n == 0:
+            continue
+        order = frame.sort_values(["mu", "strategy"], ascending=[False, True])
+        pct = pd.Series(
+            1.0 - (np.arange(n)) / max(n - 1, 1), index=order["strategy"].to_numpy()
+        )
+        percentiles[k] = pct
+    if not percentiles:
+        return pd.DataFrame(
+            columns=["root_seed", "strategy", "k_support", "percentile_contribution"]
+        )
+    common = sorted(set.intersection(*(set(p.index) for p in percentiles.values())))
+    ks = sorted(percentiles)
+    rows = [
+        {
+            "root_seed": cfg.sim.seed,
+            "strategy": int(s),
+            "k_support": ks,
+            "percentile_contribution": float(
+                np.mean([percentiles[k][s] for k in ks])
+            ),
+        }
+        for s in common
+    ]
+    return pd.DataFrame(rows)
+
+
+def run(cfg: AppConfig, *, force: bool = False) -> None:
+    """Full TrueSkill stage: per-k ratings, diagnostics, contribution."""
+    stage_sha = compute_stage_config_sha(cfg, "trueskill")
+    ks = sorted(int(k) for k in cfg.sim.n_players_list)
+    stage_dir = cfg.trueskill_dir()
+    state = resolve_stage_state(
+        stage_dir, "trueskill", config_sha=stage_sha, freshness_key=cfg.freshness_key()
+    )
+    if state == StageState.COMPLETE_VALID and not force:
+        logger.info("trueskill up to date")
+        return
+    frames: dict[int, pd.DataFrame] = {}
+    outputs = []
+    for k in ks:
+        frame = run_cell(cfg, k, force=force)
+        frames[k] = frame
+        path = ratings_path(cfg, k)
+        write_parquet_artifact_atomic(
+            pa.Table.from_pandas(frame, preserve_index=False), path,
+            producer="trueskill", scope="by_k",
+            metadata={
+                "k": k, "method_version": TRUESKILL_METHOD_VERSION,
+                "conditioning": TRUESKILL_CONDITIONING,
+                "beta": cfg.trueskill.beta, "tau": cfg.trueskill.tau,
+            },
+        )
+        outputs.append(path)
+        diag = build_diagnostics(cfg, k, frame)
+        write_json_atomic(diagnostics_path(cfg, k), diag)
+        outputs.append(diagnostics_path(cfg, k))
+        logger.info(
+            "trueskill k=%d: %d strategies rated; reversed-order rho=%s",
+            k, len(frame), diag["reversed_order_spearman"],
+        )
+    contribution = build_percentile_contribution(cfg, frames)
+    write_parquet_artifact_atomic(
+        pa.Table.from_pandas(contribution, preserve_index=False),
+        contribution_path(cfg),
+        producer="trueskill", scope="across_k",
+        metadata={"operation": "mean_percentile_rank", "k_support": ks},
+    )
+    outputs.append(contribution_path(cfg))
+    write_stage_done(
+        stage_dir, "trueskill",
+        inputs=[cfg.curated_rows_path(k) for k in ks],
+        outputs=outputs,
+        config_sha=stage_sha, freshness_key=cfg.freshness_key(),
+    )

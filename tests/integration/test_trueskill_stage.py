@@ -1,0 +1,83 @@
+"""TrueSkill stage integration: ratings, resume, diagnostics, contribution."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from farkle_ii_tpu import config as C
+from farkle_ii_tpu.analysis import curate as curate_mod
+from farkle_ii_tpu.analysis import ingest as ingest_mod
+from farkle_ii_tpu.analysis import run_trueskill as ts
+from farkle_ii_tpu.simulation import runner as R
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trueskill")
+    cfg = C.AppConfig()
+    cfg.data_dir = str(tmp)
+    cfg.sim.seed = 33
+    cfg.sim.n_players_list = [2, 3]
+    cfg.sim.row_dir = "rows"
+    cfg.sim.score_thresholds = [300]
+    cfg.sim.dice_thresholds = [2]
+    cfg.sim.smart_one_opts = [False]
+    cfg.sim.run_up_score_opts = [False]
+    cfg.sim.shuffles_per_device_batch = 4
+    cfg.screening.resolution_delta = 0.9
+    cfg.batching.target_batches = 3
+    cfg.batching.min_shuffles_per_batch = 2
+    cfg.tpu.aot_cache = False
+    C.assign_config_sha(cfg)
+    R.run_simulation(cfg, progress=lambda m: None)
+    ingest_mod.run(cfg)
+    curate_mod.run(cfg)
+    ts.run(cfg)
+    return cfg
+
+
+def test_ratings_artifacts(cfg):
+    for k in (2, 3):
+        t = pq.read_table(ts.ratings_path(cfg, k)).to_pandas()
+        assert set(t.columns) >= {"strategy", "mu", "sigma"}
+        assert len(t) == 24  # every strategy was seated
+        assert (t["sigma"] < 25 / 3).all()  # all gained information
+        assert t["mu"].std() > 0
+
+
+def test_ratings_correlate_with_win_rates(cfg):
+    # TrueSkill mu should broadly agree with raw win rates
+    from scipy.stats import spearmanr
+
+    for k in (2, 3):
+        mu = pq.read_table(ts.ratings_path(cfg, k)).to_pandas().set_index("strategy")["mu"]
+        ckpt = pq.read_table(cfg.checkpoint_path(k)).to_pandas().set_index("strategy_id")
+        rho = spearmanr(mu, ckpt.loc[mu.index, "win_rate_per_attempt"]).statistic
+        assert rho > 0.3, rho
+
+
+def test_resume_equals_fresh(cfg):
+    fresh = ts.run_cell(cfg, 2, force=True)
+    resumed = ts.run_cell(cfg, 2)  # all blocks checkpointed -> instant
+    np.testing.assert_allclose(fresh["mu"], resumed["mu"])
+    np.testing.assert_allclose(fresh["sigma"], resumed["sigma"])
+
+
+def test_diagnostics_written(cfg):
+    import json
+
+    for k in (2, 3):
+        diag = json.loads(ts.diagnostics_path(cfg, k).read_text())
+        assert diag["games_rated"] > 0
+        assert -1.0 <= diag["reversed_order_spearman"] <= 1.0
+        assert diag["reversed_order_spearman"] > 0.2  # ratings are order-robust
+        assert diag["tau_zero_max_mu_shift"] is not None
+        assert 0.0 <= diag["heldout_top1_accuracy"] <= 1.0
+
+
+def test_percentile_contribution(cfg):
+    t = pq.read_table(ts.contribution_path(cfg)).to_pandas()
+    assert len(t) == 24
+    assert t["percentile_contribution"].between(0, 1).all()
+    # best-rated strategy across both k should have a high contribution
+    assert t["percentile_contribution"].max() > 0.8
