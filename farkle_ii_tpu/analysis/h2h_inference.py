@@ -1,0 +1,533 @@
+"""Seat-adjusted head-to-head inference.
+
+Reference parity (``/root/reference/src/farkle/analysis/h2h_inference.py``):
+
+* raw counts combine within seat order across roots (never across orders);
+* seat-adjusted effect ``d_AB = 0.5 (q_AB - q_BA)``;
+* constrained-null two-proportion score test (``:67``), score-inversion
+  confidence intervals at the ordinary family alpha and the Bonferroni
+  per-pair alpha (``:101-233``, including the cubic constrained-MLE
+  evaluation and outward bisection+Brent fallback for boundary outcomes);
+* Holm step-down over the family with the null-reported-as-one convention
+  for non-viable pairs (``:279``);
+* decision classes: practical dominance (simultaneous bound beyond the
+  practical delta), statistical-only advantage (Holm reject), optional
+  equivalence (explicit margin only), else unresolved;
+* per-candidate viability gates from completion rates (``:553``) and
+  root-specific diagnostics with cross-root agreement.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from scipy.optimize import brentq
+from scipy.stats import norm
+
+from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
+from farkle_ii_tpu.utils.artifacts import (
+    read_parquet_artifact,
+    write_parquet_artifact_atomic,
+)
+from farkle_ii_tpu.utils.stage_completion import (
+    StageState,
+    resolve_stage_state,
+    write_stage_done,
+)
+
+logger = logging.getLogger(__name__)
+
+SCORE_TEST_ID = "two_proportion_score_constrained_null"
+INTERVAL_METHOD = "score_inversion_constrained_mle"
+H2H_METHOD_VERSION = 2
+
+
+def inference_path(cfg: AppConfig) -> Path:
+    return cfg.h2h_dir() / "h2h_inference.parquet"
+
+
+def root_diagnostics_path(cfg: AppConfig) -> Path:
+    return cfg.h2h_dir() / "h2h_root_diagnostics.parquet"
+
+
+# ── score test & intervals ───────────────────────────────────────────────────
+
+
+@dataclass(frozen=True)
+class ScoreResult:
+    difference: float
+    null_proportion: float
+    statistic: float
+    p_value: float
+
+
+def two_proportion_score_test(count1: int, nobs1: int, count2: int, nobs2: int) -> ScoreResult:
+    """Constrained-null two-proportion score test."""
+    if nobs1 <= 0 or nobs2 <= 0:
+        raise ValueError("two-proportion score tests require positive sample sizes")
+    if not 0 <= count1 <= nobs1 or not 0 <= count2 <= nobs2:
+        raise ValueError("two-proportion score counts must lie within their sample sizes")
+    rate1, rate2 = count1 / nobs1, count2 / nobs2
+    difference = rate1 - rate2
+    null_prop = (count1 + count2) / (nobs1 + nobs2)
+    variance = null_prop * (1.0 - null_prop) * (1.0 / nobs1 + 1.0 / nobs2)
+    if variance > 0.0:
+        statistic = difference / math.sqrt(variance)
+        p_value = float(2.0 * norm.sf(abs(statistic)))
+    elif difference == 0.0:
+        statistic, p_value = 0.0, 1.0
+    else:
+        statistic, p_value = math.copysign(math.inf, difference), 0.0
+    return ScoreResult(difference, null_prop, statistic, p_value)
+
+
+def _score_statistic_at_difference(
+    count1: int, nobs1: int, count2: int, nobs2: int, difference: float
+) -> float:
+    """Constrained-MLE score statistic at a hypothesized difference.
+
+    Uses the closed-form cubic solution for the restricted MLE (Miettinen &
+    Nurminen / Farrington & Manning construction).
+    """
+    observed = count1 / nobs1 - count2 / nobs2
+    if difference <= -1.0:
+        p1, p2 = 0.0, 1.0
+    elif difference >= 1.0:
+        p1, p2 = 1.0, 0.0
+    elif difference == 0.0:
+        p1 = p2 = (count1 + count2) / (nobs1 + nobs2)
+    else:
+        total_n = nobs1 + nobs2
+        total_count = count1 + count2
+        c2 = (nobs1 + 2 * nobs2) * difference - total_n - total_count
+        c1 = (count2 * difference - total_n - 2 * count2) * difference + total_count
+        c0 = count2 * difference * (1.0 - difference)
+        q = (c2 / (3 * total_n)) ** 3 - c1 * c2 / (6 * total_n**2) + c0 / (2 * total_n)
+        radicand = (c2 / (3 * total_n)) ** 2 - c1 / (3 * total_n)
+        p = math.copysign(math.sqrt(max(0.0, radicand)), q) if q != 0.0 else 0.0
+        if p == 0.0:
+            p2 = -c2 / (3 * total_n)
+        else:
+            cosarg = max(-1.0, min(1.0, q / p**3))
+            angle = (math.pi + math.acos(cosarg)) / 3.0
+            p2 = 2.0 * p * math.cos(angle) - c2 / (3 * total_n)
+        p1 = max(0.0, min(1.0, p2 + difference))
+        p2 = max(0.0, min(1.0, p2))
+    variance = p1 * (1.0 - p1) / nobs1 + p2 * (1.0 - p2) / nobs2
+    numerator = observed - difference
+    if variance > 0.0:
+        return numerator / math.sqrt(variance)
+    if numerator == 0.0:
+        return 0.0
+    return math.copysign(math.inf, numerator)
+
+
+def _score_interval_bound(
+    count1, nobs1, count2, nobs2, *, observed, endpoint, critical_value
+) -> float:
+    if observed == endpoint:
+        return endpoint
+
+    def objective(difference: float) -> float:
+        stat = _score_statistic_at_difference(count1, nobs1, count2, nobs2, difference)
+        if math.isnan(stat):
+            raise RuntimeError("score interval produced an undefined statistic")
+        if math.isinf(stat):
+            return 1.0
+        return abs(stat) - critical_value
+
+    previous = observed
+    span = endpoint - observed
+    for exponent in range(52, -1, -1):
+        candidate = observed + span * 2.0**-exponent
+        if candidate == previous:
+            continue
+        if objective(candidate) >= 0.0:
+            return float(
+                brentq(
+                    objective,
+                    min(previous, candidate),
+                    max(previous, candidate),
+                    xtol=1e-12,
+                    rtol=1e-14,
+                )
+            )
+        previous = candidate
+    raise RuntimeError("score interval could not bracket a confidence bound")
+
+
+def score_difference_interval(
+    count1: int, nobs1: int, count2: int, nobs2: int, *, alpha: float
+) -> tuple[float, float]:
+    """Invert the constrained score test for the difference of proportions."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("score interval alpha must be between zero and one")
+    if nobs1 <= 0 or nobs2 <= 0:
+        raise ValueError("score intervals require positive sample sizes")
+    observed = count1 / nobs1 - count2 / nobs2
+    if observed > 0.0:
+        lo, hi = score_difference_interval(count2, nobs2, count1, nobs1, alpha=alpha)
+        return -hi, -lo
+    critical = float(norm.isf(alpha / 2.0))
+    low = _score_interval_bound(
+        count1, nobs1, count2, nobs2,
+        observed=observed, endpoint=-1.0, critical_value=critical,
+    )
+    high = _score_interval_bound(
+        count1, nobs1, count2, nobs2,
+        observed=observed, endpoint=1.0, critical_value=critical,
+    )
+    if count1 == count2 and nobs1 == nobs2:
+        symmetric = max(abs(low), abs(high))
+        return -symmetric, symmetric
+    return low, high
+
+
+def holm_adjust(p_values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Holm step-down adjusted p-values and stable 1-based positions."""
+    count = len(p_values)
+    order = np.argsort(p_values, kind="mergesort")
+    adjusted_sorted = np.maximum.accumulate(
+        np.asarray(
+            [(count - i) * p_values[pos] for i, pos in enumerate(order)], dtype=float
+        )
+    )
+    adjusted = np.empty(count, dtype=float)
+    adjusted[order] = np.minimum(1.0, adjusted_sorted)
+    positions = np.empty(count, dtype=np.int64)
+    positions[order] = np.arange(1, count + 1)
+    return adjusted, positions
+
+
+# ── combination & decisions ─────────────────────────────────────────────────
+
+
+def combine_within_order(frame: pd.DataFrame, root_count: int) -> pd.DataFrame:
+    """Combine raw counts across roots without mixing seat orders."""
+    pair_sizes = frame.groupby("pair_id").size()
+    if not pair_sizes.eq(root_count * 2).all():
+        invalid = pair_sizes.loc[~pair_sizes.eq(root_count * 2)].to_dict()
+        raise ValueError(f"H2H pairs lack complete root/order support: {invalid}")
+    combined = (
+        frame.groupby(
+            ["family_hash", "pair_id", "strategy_a", "strategy_b", "order", "order_label"],
+            as_index=False, sort=True,
+        )
+        .agg(
+            root_count=("root_seed", "nunique"),
+            resolved_cells=("completion_status", lambda v: int((v == "complete").sum())),
+            total_cells=("completion_status", "size"),
+            n_completed_required=("n_completed_required", "sum"),
+            max_attempts=("max_attempts", "sum"),
+            games_attempted=("games_attempted", "sum"),
+            games_completed=("games_completed", "sum"),
+            games_safety_limit=("games_safety_limit", "sum"),
+            replacement_attempt_count=("replacement_attempt_count", "sum"),
+            wins_seat1=("wins_seat1", "sum"),
+            wins_seat2=("wins_seat2", "sum"),
+            wins_a=("wins_a", "sum"),
+            wins_b=("wins_b", "sum"),
+        )
+        .sort_values(["pair_id", "order"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    if not combined["root_count"].eq(root_count).all():
+        raise ValueError("root combination changed support between seat orders")
+    combined["completion_game_rate"] = (
+        combined["games_completed"] / combined["games_attempted"]
+    )
+    return combined
+
+
+def candidate_viability(counts: pd.DataFrame, threshold: float) -> dict[int, dict]:
+    """Per-candidate completion-rate and incident-pair viability."""
+    pair_viable = {
+        int(pid): bool(
+            (g["completion_status"] == "complete").all()
+            and (g["games_completed"] == g["n_completed_required"]).all()
+        )
+        for pid, g in counts.groupby("pair_id", sort=True)
+    }
+    rows = []
+    for _, row in counts.iterrows():
+        for strategy in (int(row["strategy_a"]), int(row["strategy_b"])):
+            rows.append(
+                {
+                    "strategy": strategy,
+                    "pair_id": int(row["pair_id"]),
+                    "games_attempted": int(row["games_attempted"]),
+                    "games_completed": int(row["games_completed"]),
+                    "games_safety_limit": int(row["games_safety_limit"]),
+                }
+            )
+    incident = pd.DataFrame(rows)
+    status = {}
+    for s, g in incident.groupby("strategy", sort=True):
+        attempted = int(g["games_attempted"].sum())
+        completed = int(g["games_completed"].sum())
+        rate = completed / attempted if attempted else None
+        pairs = sorted(set(g["pair_id"].astype(int)))
+        inferential = all(pair_viable[p] for p in pairs)
+        operational = rate is not None and rate >= threshold
+        status[int(s)] = {
+            "completion_rate": rate,
+            "games_attempted": attempted,
+            "games_completed": completed,
+            "games_safety_limit": int(g["games_safety_limit"].sum()),
+            "operationally_viable": operational,
+            "inferentially_viable": inferential,
+        }
+    return status, pair_viable
+
+
+def pairwise_estimates(
+    cfg: AppConfig,
+    combined: pd.DataFrame,
+    plan: dict,
+    *,
+    pair_viable: dict[int, bool],
+    candidate_status: dict[int, dict],
+) -> pd.DataFrame:
+    """Per-pair tests, intervals, Holm adjustment, and decision classes."""
+    pair_count = int(plan["unordered_pair_count"])
+    if combined["pair_id"].nunique() != pair_count:
+        raise ValueError("combined H2H counts do not cover the planned unordered pairs")
+    ordinary_alpha = cfg.head2head.family_alpha
+    simultaneous_alpha = ordinary_alpha / pair_count
+    rows = []
+    for pair_id, group in combined.groupby("pair_id", sort=True):
+        ordered = group.set_index("order")
+        ab, ba = ordered.loc[0], ordered.loc[1]
+        pid = int(pair_id)
+        n_ab, n_ba = int(ab["games_completed"]), int(ba["games_completed"])
+        x_ab = int(ab["wins_a"])  # A wins from seat 1 in order a_b
+        x_ba = int(ba["wins_b"])  # B wins from seat 1 in order b_a
+        a_wins_ba = int(ba["wins_a"])
+        sa, sb = int(ab["strategy_a"]), int(ab["strategy_b"])
+        a_stat, b_stat = candidate_status[sa], candidate_status[sb]
+        viable = bool(pair_viable[pid])
+        if viable and n_ab != n_ba:
+            raise ValueError(f"pair {pid} is not exactly balanced between seat orders")
+        operational = a_stat["operationally_viable"] and b_stat["operationally_viable"]
+        row = {
+            "family_hash": str(ab["family_hash"]),
+            "pair_id": pid,
+            "strategy_a": sa,
+            "strategy_b": sb,
+            "games_attempted": int(ab["games_attempted"]) + int(ba["games_attempted"]),
+            "games_completed": n_ab + n_ba,
+            "games_safety_limit": int(ab["games_safety_limit"]) + int(ba["games_safety_limit"]),
+            "completion_game_rate": (
+                (n_ab + n_ba)
+                / (int(ab["games_attempted"]) + int(ba["games_attempted"]))
+            ),
+            "pair_inferentially_viable": viable,
+            "pair_operationally_viable": operational,
+            "pair_claim_eligible": viable and operational,
+            "strategy_a_completion_rate": a_stat["completion_rate"],
+            "strategy_b_completion_rate": b_stat["completion_rate"],
+            "n_ab": n_ab if viable else None,
+            "n_ba": n_ba if viable else None,
+            "q_ab": None,
+            "q_ba": None,
+            "d_ab": None,
+            "score_null_proportion": None,
+            "score_z": None,
+            "score_p_value": None,
+            "ordinary_alpha": ordinary_alpha,
+            "ordinary_d_low": None,
+            "ordinary_d_high": None,
+            "bonferroni_alpha_per_pair": simultaneous_alpha,
+            "simultaneous_d_low": None,
+            "simultaneous_d_high": None,
+            "descriptive_a_completed_win_rate": (
+                (x_ab + a_wins_ba) / (n_ab + n_ba) if n_ab + n_ba else None
+            ),
+            "formal_test_performed": viable,
+            "no_test_p_value_convention": (
+                None if viable else "null_reported_treated_as_one_for_holm"
+            ),
+            "score_test_id": SCORE_TEST_ID,
+            "interval_method_id": INTERVAL_METHOD,
+            "h2h_method_version": H2H_METHOD_VERSION,
+            "planned_target_power": float(plan["target_power"]),
+            "planned_worst_scenario_power": float(plan["worst_scenario_achieved_power"]),
+        }
+        if viable:
+            result = two_proportion_score_test(x_ab, n_ab, x_ba, n_ba)
+            olow, ohigh = score_difference_interval(
+                x_ab, n_ab, x_ba, n_ba, alpha=ordinary_alpha
+            )
+            slow, shigh = score_difference_interval(
+                x_ab, n_ab, x_ba, n_ba, alpha=simultaneous_alpha
+            )
+            effect = 0.5 * result.difference
+            balanced_rate = (x_ab + a_wins_ba) / (n_ab + n_ba)
+            if not math.isclose(balanced_rate, 0.5 + effect, abs_tol=1e-12):
+                raise RuntimeError(
+                    "actual A-win alias disagrees with the seat-order estimator"
+                )
+            row.update(
+                {
+                    "q_ab": x_ab / n_ab,
+                    "q_ba": x_ba / n_ba,
+                    "d_ab": effect,
+                    "score_null_proportion": result.null_proportion,
+                    "score_z": result.statistic,
+                    "score_p_value": result.p_value,
+                    "ordinary_d_low": 0.5 * olow,
+                    "ordinary_d_high": 0.5 * ohigh,
+                    "simultaneous_d_low": 0.5 * slow,
+                    "simultaneous_d_high": 0.5 * shigh,
+                }
+            )
+        rows.append(row)
+    output = pd.DataFrame(rows).sort_values("pair_id", kind="mergesort").reset_index(drop=True)
+
+    performed = output["formal_test_performed"].astype(bool).to_numpy()
+    working = np.where(
+        performed,
+        pd.to_numeric(output["score_p_value"], errors="coerce").fillna(1.0).to_numpy(),
+        1.0,
+    )
+    adjusted, positions = holm_adjust(working)
+    output["holm_order"] = pd.array(
+        [int(p) if ok else None for p, ok in zip(positions, performed)], dtype="Int64"
+    )
+    output["holm_adjusted_p"] = np.where(performed, adjusted, np.nan)
+    output["holm_reject"] = (
+        performed
+        & (adjusted <= cfg.head2head.family_alpha)
+        & output["pair_claim_eligible"].to_numpy()
+    )
+
+    practical = cfg.head2head.practical_delta
+    equivalence = cfg.head2head.delta_equivalence
+    classes = []
+    for row in output.to_dict(orient="records"):
+        if not row["pair_claim_eligible"]:
+            classes.append("unresolved_nonviable")
+            continue
+        slow, shigh = float(row["simultaneous_d_low"]), float(row["simultaneous_d_high"])
+        effect = float(row["d_ab"])
+        if slow > practical:
+            classes.append("practical_dominance_a")
+        elif shigh < -practical:
+            classes.append("practical_dominance_b")
+        elif row["holm_reject"]:
+            classes.append(
+                "statistical_only_advantage_a" if effect > 0 else "statistical_only_advantage_b"
+            )
+        elif equivalence is not None and slow > -equivalence and shigh < equivalence:
+            classes.append("equivalent")
+        else:
+            classes.append("unresolved")
+    output["practical_delta"] = practical
+    output["delta_equivalence"] = equivalence
+    output["decision_class"] = classes
+    output["multiplicity_method"] = "holm"
+    return output
+
+
+def root_specific_diagnostics(counts: pd.DataFrame) -> pd.DataFrame:
+    """Per-root seat-adjusted effects + cross-root sign agreement."""
+    rows = []
+    for (pid, root), group in counts.groupby(["pair_id", "root_seed"], sort=True):
+        ordered = group.set_index("order")
+        if set(ordered.index.astype(int)) != {0, 1}:
+            continue
+        ab, ba = ordered.loc[0], ordered.loc[1]
+        n_ab, n_ba = int(ab["games_completed"]), int(ba["games_completed"])
+        if n_ab == 0 or n_ba == 0:
+            continue
+        d = 0.5 * (int(ab["wins_a"]) / n_ab - int(ba["wins_b"]) / n_ba)
+        rows.append(
+            {
+                "pair_id": int(pid),
+                "root_seed": int(root),
+                "strategy_a": int(ab["strategy_a"]),
+                "strategy_b": int(ab["strategy_b"]),
+                "d_ab_root": d,
+                "games_completed": n_ab + n_ba,
+            }
+        )
+    frame = pd.DataFrame(rows)
+    if frame.empty or frame["root_seed"].nunique() < 2:
+        frame["cross_root_sign_agreement"] = True if not frame.empty else None
+        return frame
+    sign_agreement = (
+        frame.assign(sign=np.sign(frame["d_ab_root"]))
+        .groupby("pair_id")["sign"]
+        .nunique()
+        .le(1)
+    )
+    frame = frame.merge(
+        sign_agreement.rename("cross_root_sign_agreement"), on="pair_id"
+    )
+    return frame
+
+
+def run_h2h_inference(cfg: AppConfig, *, force: bool = False) -> pd.DataFrame:
+    from farkle_ii_tpu.analysis.h2h_schedule import (
+        order_counts_path,
+        power_plan_path,
+    )
+
+    stage_sha = compute_stage_config_sha(cfg, "h2h_inference")
+    out_dir = cfg.h2h_dir()
+    state = resolve_stage_state(
+        out_dir, "h2h_inference", config_sha=stage_sha,
+        freshness_key=cfg.freshness_key(),
+    )
+    if state == StageState.COMPLETE_VALID and not force:
+        return read_parquet_artifact(
+            inference_path(cfg), expected_producer="h2h_inference"
+        ).to_pandas()
+
+    plan = json.loads(power_plan_path(cfg).read_text())
+    counts = read_parquet_artifact(
+        order_counts_path(cfg), expected_producer="h2h_schedule"
+    ).to_pandas()
+    root_count = len(plan["root_seeds"])
+    candidate_status, pair_viable = candidate_viability(
+        counts, float(plan["min_candidate_completion_rate"])
+    )
+    combined = combine_within_order(counts, root_count)
+    estimates = pairwise_estimates(
+        cfg, combined, plan,
+        pair_viable=pair_viable, candidate_status=candidate_status,
+    )
+    write_parquet_artifact_atomic(
+        pa.Table.from_pandas(estimates, preserve_index=False), inference_path(cfg),
+        producer="h2h_inference", scope="h2h_2p",
+        metadata={
+            "operation": "seat_adjusted_inference",
+            "uncertainty_method": SCORE_TEST_ID,
+            "multiplicity": "holm",
+        },
+    )
+    diagnostics = root_specific_diagnostics(counts)
+    write_parquet_artifact_atomic(
+        pa.Table.from_pandas(diagnostics, preserve_index=False),
+        root_diagnostics_path(cfg),
+        producer="h2h_inference", scope="h2h_2p",
+        metadata={"operation": "root_specific_diagnostics"},
+    )
+    write_stage_done(
+        out_dir, "h2h_inference",
+        inputs=[order_counts_path(cfg), power_plan_path(cfg)],
+        outputs=[inference_path(cfg), root_diagnostics_path(cfg)],
+        config_sha=stage_sha, freshness_key=cfg.freshness_key(),
+    )
+    return estimates
+
+
+def run(cfg: AppConfig, *, force: bool = False) -> None:
+    run_h2h_inference(cfg, force=force)
