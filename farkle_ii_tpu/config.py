@@ -232,11 +232,18 @@ class AppConfig:
     tpu: TPUConfig = field(default_factory=TPUConfig)
     data_dir: str = "data"
     config_sha: str | None = field(default=None, init=False, repr=False, compare=False)
+    # runtime context only (orchestration redirects); never part of config
+    # identity — excluded from to_dict/sha
+    results_root_override: str | None = field(
+        default=None, init=False, repr=False, compare=False
+    )
 
     # ── Paths ────────────────────────────────────────────────────────────
     @property
     def results_root(self) -> Path:
         """Seed-suffixed results root (reference config.py:417-426)."""
+        if self.results_root_override is not None:
+            return Path(self.results_root_override)
         base = Path(self.io.results_dir_prefix)
         if not base.is_absolute():
             base = Path(self.data_dir) / base
@@ -351,7 +358,7 @@ class AppConfig:
     def to_dict(self) -> dict[str, Any]:
         out: dict[str, Any] = {}
         for f_ in fields(self):
-            if f_.name == "config_sha":
+            if f_.name in ("config_sha", "results_root_override"):
                 continue
             value = getattr(self, f_.name)
             out[f_.name] = dataclasses.asdict(value) if dataclasses.is_dataclass(value) else value
@@ -415,7 +422,7 @@ def expand_dotted_keys(data: Mapping[str, Any]) -> dict[str, Any]:
 _SECTION_TYPES: dict[str, type] = {
     f.name: f.default_factory  # type: ignore[misc]
     for f in fields(AppConfig)
-    if f.name not in ("config_sha", "data_dir")
+    if f.name not in ("config_sha", "data_dir", "results_root_override")
 }
 
 
