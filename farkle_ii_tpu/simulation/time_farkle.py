@@ -28,7 +28,8 @@ def measure_sim_times(cfg, *, n_games: int = 8192, k: int = 5) -> dict[str, floa
         auto_hot_dice_opts=cfg.sim.auto_hot_dice_opts,
         run_up_score_opts=cfg.sim.run_up_score_opts,
     )
-    ids = np.random.default_rng(cfg.sim.seed).integers(0, len(grid), size=(n_games, k))
+    sample_rng = rng.coordinate_numpy_rng(rng.RandomPurpose.STRATEGY, root_seed=cfg.sim.seed, k=k)
+    ids = sample_rng.integers(0, len(grid), size=(n_games, k))
     p = S.pack_strategy_params([grid[int(i)] for i in ids.reshape(-1)])
     st = jnp.asarray(p.score_threshold.reshape(n_games, k))
     dt = jnp.asarray(p.dice_threshold.reshape(n_games, k))

@@ -21,7 +21,9 @@ def watch_game(*, seed: int = 0, k: int = 2, out=print) -> None:
     from farkle_ii_tpu.ops import game_kernel as gk, rng
     from farkle_ii_tpu.ops.threefry import roll_dice
 
-    nprng = np.random.default_rng(seed)
+    from farkle_ii_tpu.ops.rng import RandomPurpose, coordinate_numpy_rng
+
+    nprng = coordinate_numpy_rng(RandomPurpose.STRATEGY, root_seed=seed, k=k)
     strategies = [random_threshold_strategy(nprng) for _ in range(k)]
     for i, s in enumerate(strategies):
         out(f"P{i + 1}: {s}")
