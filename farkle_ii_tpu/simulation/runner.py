@@ -67,6 +67,8 @@ def resolve_strategies(cfg: AppConfig) -> list[S.ThresholdStrategy]:
         consider_dice_opts=cfg.sim.consider_dice_opts,
         auto_hot_dice_opts=cfg.sim.auto_hot_dice_opts,
         run_up_score_opts=cfg.sim.run_up_score_opts,
+        include_stop_at=cfg.sim.include_stop_at,
+        include_stop_at_heuristic=cfg.sim.include_stop_at_heuristic,
     )
 
 

@@ -247,6 +247,36 @@ def iter_strategy_combos(
                                             )
 
 
+def build_stop_at_strategy(
+    threshold: int, *, heuristic: bool = False, inactive_dice_threshold: int = -1
+) -> ThresholdStrategy:
+    """Named stop-at strategy: bank once the turn score crosses ``threshold``.
+
+    Heuristic variants additionally enable smart discards and auto hot dice
+    (reference strategies.py:454-481).
+    """
+    if threshold not in STOP_AT_THRESHOLDS:
+        raise ValueError(f"Unregistered stop-at threshold: {threshold}")
+    return ThresholdStrategy(
+        score_threshold=threshold,
+        dice_threshold=inactive_dice_threshold,
+        smart_five=heuristic,
+        smart_one=heuristic,
+        consider_score=True,
+        consider_dice=False,
+        require_both=False,
+        auto_hot_dice=heuristic,
+        run_up_score=False,
+        favor_dice_or_score=FavorDiceOrScore.SCORE,
+    )
+
+
+STOP_AT_REGISTRY = {
+    **{f"stop_at_{t}": (t, False) for t in STOP_AT_THRESHOLDS},
+    **{f"stop_at_{t}_heuristic": (t, True) for t in STOP_AT_THRESHOLDS},
+}
+
+
 @dataclass(frozen=True)
 class StrategyGridOptions:
     """Normalized, immutable grid option bundle."""
@@ -259,6 +289,8 @@ class StrategyGridOptions:
     consider_dice_opts: tuple[bool, ...]
     auto_hot_dice_opts: tuple[bool, ...]
     run_up_score_opts: tuple[bool, ...]
+    include_stop_at: bool = False
+    include_stop_at_heuristic: bool = False
 
     @property
     def inactive_score_threshold(self) -> int:
@@ -280,6 +312,8 @@ class StrategyGridOptions:
         consider_dice_opts: Sequence[bool] | None = None,
         auto_hot_dice_opts: Sequence[bool] | None = None,
         run_up_score_opts: Sequence[bool] | None = None,
+        include_stop_at: bool = False,
+        include_stop_at_heuristic: bool = False,
     ) -> "StrategyGridOptions":
         def norm(values: Sequence[Any] | None, default_key: str) -> tuple[Any, ...]:
             if values is None:
@@ -302,6 +336,8 @@ class StrategyGridOptions:
             consider_dice_opts=norm(consider_dice_opts, "consider_dice_opts"),
             auto_hot_dice_opts=norm(auto_hot_dice_opts, "auto_hot_dice_opts"),
             run_up_score_opts=norm(run_up_score_opts, "run_up_score_opts"),
+            include_stop_at=include_stop_at,
+            include_stop_at_heuristic=include_stop_at_heuristic,
         )
 
 
@@ -331,11 +367,8 @@ class StrategyEncoder:
         return [strategy_from_tuple(c, strategy_id=i) for i, c in enumerate(self.tuples)]
 
 
-@lru_cache(maxsize=None)
-def _build_encoder_cached(options: StrategyGridOptions) -> StrategyEncoder:
-    tuples: list[StrategyTuple] = []
-    tuple_to_id: dict[StrategyTuple, int] = {}
-    for combo in iter_strategy_combos(
+def _iter_encoder_combos(options: StrategyGridOptions):
+    yield from iter_strategy_combos(
         score_thresholds=options.score_thresholds,
         dice_thresholds=options.dice_thresholds,
         smart_five_opts=options.smart_five_opts,
@@ -346,7 +379,30 @@ def _build_encoder_cached(options: StrategyGridOptions) -> StrategyEncoder:
         run_up_score_opts=options.run_up_score_opts,
         inactive_score_threshold=options.inactive_score_threshold,
         inactive_dice_threshold=options.inactive_dice_threshold,
-    ):
+    )
+    if options.include_stop_at:
+        for threshold in STOP_AT_THRESHOLDS:
+            yield strategy_tuple(
+                build_stop_at_strategy(
+                    threshold, inactive_dice_threshold=options.inactive_dice_threshold
+                )
+            )
+    if options.include_stop_at_heuristic:
+        for threshold in STOP_AT_THRESHOLDS:
+            yield strategy_tuple(
+                build_stop_at_strategy(
+                    threshold,
+                    heuristic=True,
+                    inactive_dice_threshold=options.inactive_dice_threshold,
+                )
+            )
+
+
+@lru_cache(maxsize=None)
+def _build_encoder_cached(options: StrategyGridOptions) -> StrategyEncoder:
+    tuples: list[StrategyTuple] = []
+    tuple_to_id: dict[StrategyTuple, int] = {}
+    for combo in _iter_encoder_combos(options):
         if combo not in tuple_to_id:
             tuple_to_id[combo] = len(tuples)
             tuples.append(combo)
