@@ -97,4 +97,7 @@ def run(cfg: AppConfig, *, force: bool = False) -> None:
         out.parent, "combine", inputs=inputs, outputs=[out],
         config_sha=stage_sha, freshness_key=cfg.freshness_key(),
     )
+    from farkle_ii_tpu.analysis.checks import check_post_combine
+
+    check_post_combine(cfg)
     logger.info("combine: %d rows over k=%s", combined.num_rows, ks)

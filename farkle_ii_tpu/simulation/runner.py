@@ -310,6 +310,10 @@ def run_cell(
         lo = batch_id * plan.shuffles_per_batch
         hi = lo + plan.shuffles_per_batch
         acc = T.TournamentAccumulator(len(strategies))
+        # dispatch every chunk of the block before absorbing any result:
+        # jax's async dispatch pipelines the device while the host reduces,
+        # hiding the (potentially long) host<->device round-trip latency
+        pending: list[tuple[int, int, Any]] = []
         for chunk_lo in range(lo, hi, ns_device):
             chunk_hi = min(chunk_lo + ns_device, hi)
             idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
@@ -320,6 +324,8 @@ def run_cell(
                 )(params, jnp.asarray(idx))
             else:
                 out = step(params, jnp.asarray(idx))
+            pending.append((chunk_lo, chunk_hi, out))
+        for chunk_lo, chunk_hi, out in pending:
             if with_rows:
                 agg, result, seat_ids = out
                 _write_row_shard(
