@@ -415,6 +415,29 @@ def make_game_step(
     return step
 
 
+# compaction: below this batch size, straggler compaction isn't worth the
+# gather/scatter; above it, once the active count drops under B/ratio the
+# remaining games are gathered into a dense small batch
+_COMPACT_MIN_BATCH = 4096
+_COMPACT_RATIOS = (8, 64)
+
+
+def _gather_state(state: GameState, idx: jax.Array) -> GameState:
+    return GameState(*[
+        leaf if leaf.ndim == 0 else leaf[idx] for leaf in state
+    ])
+
+
+def _scatter_state(full: GameState, compact: GameState, idx: jax.Array) -> GameState:
+    out = []
+    for full_leaf, compact_leaf in zip(full, compact):
+        if full_leaf.ndim == 0:
+            out.append(compact_leaf)  # step counter: keep the latest
+        else:
+            out.append(full_leaf.at[idx].set(compact_leaf))
+    return GameState(*out)
+
+
 def play_games(
     seat_key_data: jax.Array,  # (B, K, 2) uint32
     score_thresholds: jax.Array,  # (B, K) int32
@@ -423,10 +446,21 @@ def play_games(
     *,
     target_score: int = DEFAULT_TARGET_SCORE,
     max_rounds: int = DEFAULT_MAX_ROUNDS,
+    compact: bool = True,
 ) -> GameResult:
     """Play a full batch of K-seat games to completion. Jit-compatible.
 
     All arguments are data; B and K are static from the array shapes.
+
+    Straggler compaction: game lengths are heavy-tailed (typical games need a
+    few hundred roll-steps; rare near-safety-limit games need thousands), and
+    the while_loop pays full-batch cost per iteration until the *last* game
+    finishes. For large batches the loop therefore runs in phases: once the
+    active count drops below B/8 (then B/64), the unfinished games are
+    gathered into a dense small batch that continues alone, and their final
+    state is scattered back. Results are bit-identical — games are
+    independent and every dice stream is coordinate-addressed — only the
+    wasted masked-lane work disappears.
     """
     batch, k = score_thresholds.shape
     step = make_game_step(k=k, target_score=target_score, max_rounds=max_rounds)
@@ -434,14 +468,48 @@ def play_games(
     # at most (max_rounds * k + k) turns per game.
     max_steps = (max_rounds + 1) * k * (ROLL_LIMIT + 2)
 
-    def cond(state: GameState):
-        return jnp.any(~state.done) & (state.step < max_steps)
+    def run_phase(state, kd, st, dt, fl, active_floor):
+        def cond(s: GameState):
+            going = jnp.any(~s.done) & (s.step < max_steps)
+            if active_floor is not None:
+                going &= (~s.done).sum() > active_floor
+            return going
 
-    def body(state: GameState):
-        return step(state, seat_key_data, score_thresholds, dice_thresholds, flags)
+        def body(s: GameState):
+            return step(s, kd, st, dt, fl)
 
-    final = jax.lax.while_loop(cond, body, init_state(batch, k))
-    return finalize(final, k=k)
+        return jax.lax.while_loop(cond, body, state)
+
+    state = init_state(batch, k)
+    if not compact or batch < _COMPACT_MIN_BATCH:
+        final = run_phase(state, seat_key_data, score_thresholds,
+                          dice_thresholds, flags, None)
+        return finalize(final, k=k)
+
+    kd, st, dt, fl = seat_key_data, score_thresholds, dice_thresholds, flags
+    # original-index bookkeeping across compaction levels
+    index = jnp.arange(batch, dtype=jnp.int32)
+    full_state = None  # (state, idx) chain for scattering back
+    chain: list[tuple[GameState, jax.Array]] = []
+    for ratio in _COMPACT_RATIOS:
+        cap = batch // ratio
+        state = run_phase(state, kd, st, dt, fl, cap)
+        # gather the (at most cap) unfinished games into a dense batch
+        order = jnp.argsort(state.done)  # unfinished first
+        take = order[:cap]
+        chain.append((state, take))
+        sub_index = index[take]
+        state = _gather_state(state, take)
+        kd = kd[take]
+        st = st[take]
+        dt = dt[take]
+        fl = fl[take]
+        index = sub_index
+    state = run_phase(state, kd, st, dt, fl, None)
+    # scatter the finished stragglers back up the chain
+    for parent_state, take in reversed(chain):
+        state = _scatter_state(parent_state, state, take)
+    return finalize(state, k=k)
 
 
 def finalize(state: GameState, *, k: int) -> GameResult:

@@ -1,0 +1,37 @@
+"""Straggler compaction must be result-invariant vs the plain loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from farkle_ii_tpu.ops import game_kernel as gk, rng
+from farkle_ii_tpu.simulation import strategies as S
+
+
+def test_compacted_equals_plain():
+    grid = S.build_strategy_grid(
+        score_thresholds=(250, 300), dice_thresholds=(0, 2)
+    )
+    k, b = 2, 4096  # meets _COMPACT_MIN_BATCH; dt=0 grid rows create stragglers
+    ids = np.random.default_rng(1).integers(0, len(grid), size=(b, k))
+    p = S.pack_strategy_params([grid[int(i)] for i in ids.reshape(-1)])
+    st = jnp.asarray(p.score_threshold.reshape(b, k))
+    dt = jnp.asarray(p.dice_threshold.reshape(b, k))
+    fl = jnp.asarray(p.flags.reshape(b, k))
+    base = rng.purpose_base_key(
+        rng.RandomPurpose.TOURNAMENT_PLAYER, root_seed=9, k=k, shuffle_index=0
+    )
+    kd = gk.seat_key_data_for_games(base, jnp.arange(b), k)
+
+    plain = jax.jit(
+        lambda *a: gk.play_games(*a, compact=False)
+    )(kd, st, dt, fl)
+    compacted = jax.jit(
+        lambda *a: gk.play_games(*a, compact=True)
+    )(kd, st, dt, fl)
+    for name in gk.GameResult._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(plain, name)),
+            np.asarray(getattr(compacted, name)),
+            err_msg=name,
+        )
