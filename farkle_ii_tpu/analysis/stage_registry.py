@@ -69,6 +69,7 @@ H2H_TAIL_STAGES: tuple[StageDefinition, ...] = (
     _stage("h2h_power", "h2h", "h2h_schedule:run_power", depends_on=("candidate_freeze",)),
     _stage("h2h_execute", "h2h", "h2h_schedule:run_execute", depends_on=("h2h_power",)),
     _stage("h2h_inference", "h2h", "h2h_inference", depends_on=("h2h_execute",)),
+    _stage("h2h_digest", "h2h", "h2h_digest", depends_on=("h2h_inference",)),
     _stage("dominance", "h2h", "dominance", depends_on=("h2h_inference",)),
     _stage("agreement", "h2h", "structure_agreement", depends_on=("h2h_inference",)),
     _stage(

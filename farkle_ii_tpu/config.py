@@ -544,6 +544,7 @@ STAGE_CACHE_SCOPES: dict[str, tuple[str, ...]] = {
     "h2h_power": ("head2head", "artifact_contract"),
     "h2h_execute": ("head2head", "rng", "artifact_contract"),
     "h2h_inference": ("head2head", "artifact_contract"),
+    "h2h_digest": ("head2head", "artifact_contract"),
     "dominance": ("head2head", "artifact_contract"),
     "agreement": ("screening", "head2head", "artifact_contract"),
     "reporting": ("artifact_contract",),

@@ -56,7 +56,7 @@ def test_run_all_stages(cfg):
         "ingest", "curate", "combine", "metrics", "game_stats",
         "rng_diagnostics", "trueskill", "hgb", "screening",
         "candidate_freeze", "h2h_power", "h2h_execute", "h2h_inference",
-        "dominance", "agreement", "reporting",
+        "h2h_digest", "dominance", "agreement", "reporting",
     ]
     # terminal deliverables exist
     from farkle_ii_tpu.analysis import structure_reporting as rep
