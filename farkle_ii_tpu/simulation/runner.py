@@ -440,15 +440,40 @@ def run_simulation(
     results: dict[int, CellRunResult] = {}
     outputs: list[Path] = [cfg.strategy_manifest_path()]
     plans: dict[str, Any] = {}
+    # per-n execution overrides (reference sim.per_n). Only execution knobs
+    # may vary per player count — the strategy grid is a per-root contract.
+    _PER_N_KEYS = {"shuffles_per_device_batch", "row_dir", "expanded_metrics",
+                   "desired_sec_per_chunk", "ckpt_every_sec", "n_jobs"}
+    base_cfg = cfg
     for n in cfg.sim.n_players_list:
         n = int(n)
+        overrides = base_cfg.sim.per_n.get(str(n), {})
+        if overrides:
+            import copy
+
+            bad = set(overrides) - _PER_N_KEYS
+            if bad:
+                raise ValueError(
+                    f"sim.per_n[{n}] may only override execution knobs "
+                    f"{sorted(_PER_N_KEYS)}; got {sorted(bad)}"
+                )
+            cfg = copy.deepcopy(base_cfg)
+            for key, value in overrides.items():
+                setattr(cfg.sim, key, value)
+        else:
+            cfg = base_cfg
         mf.append_manifest_event(
             manifest_path, "stage_start", run_id=run_id, config_sha=config_sha,
             stage="simulation", k=n,
         )
         res = run_cell(cfg, n=n, strategies=strategies, run_id=run_id, progress=progress)
         results[n] = res
-        plans[str(n)] = res.plan.to_dict()
+        plan = res.plan
+        if res.games_per_second > 0:
+            # measured-throughput runtime projection (reference
+            # _measure_throughput analogue, using real steady-state rate)
+            plan = plan.with_games_per_second(res.games_per_second)
+        plans[str(n)] = plan.to_dict()
         write_parquet_artifact_atomic(
             summary_table(res.accumulator),
             cfg.checkpoint_path(n),
@@ -473,6 +498,7 @@ def run_simulation(
             games_per_second=res.games_per_second,
         )
 
+    cfg = base_cfg  # per-n clones end with the loop; identity uses the base
     write_json_atomic(cfg.workload_plan_path(), plans)
     outputs.append(cfg.workload_plan_path())
 
