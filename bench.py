@@ -49,18 +49,21 @@ def main() -> None:
     )
     step = lambda sh, _s=step: _s(params, sh)  # noqa: E731
 
-    # warmup
-    agg = step(jnp.arange(ns, dtype=jnp.uint32))
-    jax.block_until_ready(agg)
+    import numpy as np
 
-    # timed steady-state
+    # warmup (forced fetch: block_until_ready is unreliable on remote
+    # backends — only a device_get provably completes the computation)
+    agg = step(jnp.arange(ns, dtype=jnp.uint32))
+    assert int(np.asarray(agg.games_attempted)) == games_per_step
+
+    # timed steady-state, dispatch pipelined, every result fetched
     n_steps = 6 if platform != "cpu" else 2
     start = time.perf_counter()
-    total_games = 0
-    for i in range(n_steps):
-        agg = step(jnp.arange(ns * (i + 1), ns * (i + 2), dtype=jnp.uint32))
-        total_games += games_per_step
-    jax.block_until_ready(agg)
+    aggs = [
+        step(jnp.arange(ns * (i + 1), ns * (i + 2), dtype=jnp.uint32))
+        for i in range(n_steps)
+    ]
+    total_games = sum(int(np.asarray(a.games_attempted)) for a in aggs)
     elapsed = time.perf_counter() - start
 
     games_per_sec = total_games / elapsed

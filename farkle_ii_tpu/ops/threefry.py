@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = 0x1BD11BDA  # python int: keeps pallas kernels constant-free
 # rotation schedule: groups alternate between these two quadruples
 _ROT_A = (13, 15, 26, 6)
 _ROT_B = (17, 29, 16, 24)
@@ -37,7 +37,7 @@ def threefry2x32(
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(x0, jnp.uint32)
     x1 = jnp.asarray(x1, jnp.uint32)
-    ks = (k0, k1, k0 ^ k1 ^ _PARITY)
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(_PARITY))
 
     x0 = x0 + ks[0]
     x1 = x1 + ks[1]
