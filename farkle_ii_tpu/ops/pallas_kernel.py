@@ -93,8 +93,25 @@ def _commit_seat(
     ]
 
 
-def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
-    """One roll-step on (R, 128)-tiled arrays; same algebra as game_kernel."""
+def _game_step_tiled(
+    state: dict, consts: dict, *, k, target_score, max_rounds, debug_stage=None
+):
+    """One roll-step on (R, 128)-tiled arrays; same algebra as game_kernel.
+
+    ``debug_stage`` (dev only): truncate the body after stage N, folding the
+    values computed so far into a dummy update, to bisect backend-compiler
+    rejections of the full kernel.
+    """
+
+    def _truncate(*values):
+        out = dict(state)
+        acc = state["turn_score"]
+        for v in values:
+            acc = acc + v.astype(jnp.int32)
+        out["turn_score"] = acc
+        out["done"] = jnp.where(acc >= -1, 1, state["done"])  # force all-done
+        return out
+
     active = state["done"] == 0
     seat = state["seat"]
 
@@ -118,6 +135,8 @@ def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
     dice = [(w % jnp.uint32(6)).astype(jnp.int32) + 1 for w in words]
     faces = [jnp.where(roll_n > lane, d, 0) for lane, d in enumerate(dice)]
 
+    if debug_stage == 1:
+        return _truncate(faces[0], faces[5])
     nr = _commit_seat(nr, seat, active, roll_index.astype(jnp.int32) + 1)
     rolls_this_turn = jnp.where(active, state["rolls_this_turn"] + 1, state["rolls_this_turn"])
 
@@ -155,6 +174,8 @@ def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
     sfives = jnp.where(special, 0, lone_fives)
     sones = jnp.where(special, 0, lone_ones)
 
+    if debug_stage == 2:
+        return _truncate(raw_score, raw_used, sfives, sones)
     # ---- smart discards (9 unrolled candidates) ------------------------
     smart_five = (flags & FLAG_SMART_FIVE) != 0
     smart_one = (flags & FLAG_SMART_ONE) != 0
@@ -180,7 +201,11 @@ def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
             hit_score = consider_score & (score_after >= st)
             hit_dice = consider_dice & (dice_left_after <= dt)
             need_both = consider_score & consider_dice & require_both
-            bank = jnp.where(need_both, hit_score & hit_dice, hit_score | hit_dice)
+            # boolean algebra, not jnp.where: i1-valued selects are rejected
+            # by this Mosaic backend ("unsupported bitwidth for truncation")
+            bank = (need_both & hit_score & hit_dice) | (
+                ~need_both & (hit_score | hit_dice)
+            )
             valid &= ~bank
             rank = jnp.where(
                 favor_score,
@@ -196,6 +221,8 @@ def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
     d5 = jnp.where(take, best_d5, 0)
     d1 = jnp.where(take, best_d1, 0)
 
+    if debug_stage == 3:
+        return _truncate(d5, d1)
     final_score = raw_score - 50 * d5 - 100 * d1
     final_used = raw_used - d5 - d1
     reroll = roll_n - final_used
@@ -243,14 +270,18 @@ def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
     want_score = consider_score & (turn_score_new < st)
     want_dice = consider_dice & (next_dice > dt)
     both = consider_score & consider_dice
-    keep = jnp.where(both, jnp.where(require_both, want_score | want_dice,
-                                     want_score & want_dice),
-                     want_score | want_dice)
+    either = want_score | want_dice
+    both_unmet = want_score & want_dice
+    keep = (both & require_both & either) | (both & ~require_both & both_unmet) | (
+        ~both & either
+    )
     keep |= ~has_scored_seat & (turn_score_new < 500)
     keep |= final_round & (running_total <= beat)
     keep &= ~(final_round & (running_total > beat) & ~run_up)
     keep |= auto_hot_continue
 
+    if debug_stage == 4:
+        return _truncate(keep.astype(jnp.int32), next_dice)
     hit_roll_limit = rolls_this_turn >= ROLL_LIMIT
     turn_end = bust | ~keep | hit_roll_limit
     roll_limit_hits = jnp.where(
@@ -289,7 +320,9 @@ def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
     )
     hit_max_rounds = end & ~final_round_new & wrapped & (round_next > max_rounds)
     next_seat = jnp.where(final_round_new, cand_final, cand_normal)
-    game_done = end & jnp.where(final_round_new, finished_final, hit_max_rounds)
+    game_done = end & (
+        (final_round_new & finished_final) | (~final_round_new & hit_max_rounds)
+    )
     done = jnp.where(game_done, 1, state["done"])
     safety = jnp.where(game_done & ~final_round_new, 1, state["safety"])
     n_rounds = jnp.where(game_done, state["round_num"], state["n_rounds"])
@@ -328,7 +361,8 @@ def _game_step_tiled(state: dict, consts: dict, *, k, target_score, max_rounds):
 
 
 def make_advance_kernel(
-    *, k: int, target_score: int, max_rounds: int, max_iters: int, interpret: bool = False
+    *, k: int, target_score: int, max_rounds: int, max_iters: int, interpret: bool = False,
+    debug_stage=None,
 ):
     """Build the pallas advance: state (S,R,128) -> state after <=max_iters."""
     from jax.experimental import pallas as pl
@@ -358,7 +392,7 @@ def make_advance_kernel(
             state_c = dict(zip(names, vals))
             new = _game_step_tiled(
                 state_c, consts, k=k, target_score=target_score,
-                max_rounds=max_rounds,
+                max_rounds=max_rounds, debug_stage=debug_stage,
             )
             return it + 1, tuple(new[n] for n in names)
 
