@@ -43,7 +43,7 @@ from farkle_ii_tpu.ops.game_kernel import (
     GameState,
     finalize,
 )
-from farkle_ii_tpu.ops.threefry import threefry2x32
+from farkle_ii_tpu.ops.threefry import roll_dice_words
 
 LANES = 128
 
@@ -128,10 +128,7 @@ def _game_step_tiled(
     roll_index = _select_seat(nr, seat).astype(jnp.uint32)
     key0 = _select_seat(consts["k0"], seat)
     key1 = _select_seat(consts["k1"], seat)
-    words = []
-    for block in range(3):
-        w0, w1 = threefry2x32(key0, key1, roll_index, jnp.uint32(block))
-        words.extend([w0, w1])
+    words = roll_dice_words(key0, key1, roll_index)
     dice = [(w % jnp.uint32(6)).astype(jnp.int32) + 1 for w in words]
     faces = [jnp.where(roll_n > lane, d, 0) for lane, d in enumerate(dice)]
 
