@@ -458,12 +458,11 @@ def _play_block_window(
         keys = rng_mod.vector_coordinate_keys(
             rng_mod.RandomPurpose.H2H_PLAYER,
             root_seed=int(root), k=2,
-            pair_id=jnp.asarray(pair_g)[:, None],
-            order=jnp.asarray(order_g)[:, None],
-            game_index=jnp.asarray(attempt_g)[:, None],
-            seat_index=jnp.arange(2, dtype=jnp.uint32)[None, :],
+            pair_id=jnp.asarray(pair_g),
+            order=jnp.asarray(order_g),
+            game_index=jnp.asarray(attempt_g),
         )
-        key_data = jax.random.key_data(keys)
+        key_data = jax.random.key_data(keys)  # (B, 2) game keys
         st1, dt1, fl1 = params_lookup(seat1[pad_sel])
         st2, dt2, fl2 = params_lookup(seat2[pad_sel])
         st = jnp.asarray(

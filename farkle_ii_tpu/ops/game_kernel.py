@@ -27,11 +27,12 @@ against the host oracle engine):
   instead and counted in ``roll_limit_hits`` (always 0 in practice; the limit
   is unreachable for real strategies).
 
-Randomness: each (game, seat) owns a coordinate-addressed threefry key; each
-roll folds the seat's monotonic roll counter into that key, so dice streams
-are pure functions of ``(coordinates..., seat, roll_index)`` — independent of
-batch placement, shard layout, and iteration order, which is the TPU analogue
-of the reference's "worker order is not a coordinate" rule.
+Randomness: each *game* owns a coordinate-addressed threefry key (the fold
+chain evaluated at seat 0); each roll hashes the counter words
+``(roll_index, seat * 4 + block)``, so dice streams are pure functions of
+``(coordinates..., seat, roll_index)`` — independent of batch placement,
+shard layout, and iteration order, which is the TPU analogue of the
+reference's "worker order is not a coordinate" rule.
 """
 
 from __future__ import annotations
@@ -244,7 +245,7 @@ def make_game_step(
 
     def step(
         state: GameState,
-        seat_key_data: jax.Array,  # (B, K, 2) uint32 raw threefry key data
+        game_key_data: jax.Array,  # (B, 2) uint32 raw threefry key data
         score_thresholds: jax.Array,  # (B, K) int32
         dice_thresholds: jax.Array,  # (B, K) int32
         flags_bk: jax.Array,  # (B, K) int32
@@ -263,10 +264,9 @@ def make_game_step(
         # ---- roll --------------------------------------------------------
         roll_n = state.dice_left
         roll_index = gather_seat(state.n_rolls)
-        key_data = (seat_key_data * seat_onehot[:, :, None].astype(jnp.uint32)).sum(
-            axis=1
-        )  # (B, 2)
-        dice = roll_dice(key_data[:, 0], key_data[:, 1], roll_index)  # (B, 6)
+        dice = roll_dice(
+            game_key_data[:, 0], game_key_data[:, 1], roll_index, seat
+        )  # (B, 6)
         lane = jnp.arange(6, dtype=jnp.int32)[None, :]
         faces = jnp.where(lane < roll_n[:, None], dice, 0)  # (B, 6)
 
@@ -439,7 +439,7 @@ def _scatter_state(full: GameState, compact: GameState, idx: jax.Array) -> GameS
 
 
 def play_games(
-    seat_key_data: jax.Array,  # (B, K, 2) uint32
+    game_key_data: jax.Array,  # (B, 2) uint32
     score_thresholds: jax.Array,  # (B, K) int32
     dice_thresholds: jax.Array,  # (B, K) int32
     flags: jax.Array,  # (B, K) int32
@@ -482,11 +482,11 @@ def play_games(
 
     state = init_state(batch, k)
     if not compact or batch < _COMPACT_MIN_BATCH:
-        final = run_phase(state, seat_key_data, score_thresholds,
+        final = run_phase(state, game_key_data, score_thresholds,
                           dice_thresholds, flags, None)
         return finalize(final, k=k)
 
-    kd, st, dt, fl = seat_key_data, score_thresholds, dice_thresholds, flags
+    kd, st, dt, fl = game_key_data, score_thresholds, dice_thresholds, flags
     # original-index bookkeeping across compaction levels
     index = jnp.arange(batch, dtype=jnp.int32)
     full_state = None  # (state, idx) chain for scattering back
@@ -562,18 +562,20 @@ def finalize(state: GameState, *, k: int) -> GameResult:
     )
 
 
-def seat_key_data_for_games(
-    base_key: jax.Array, game_indices: jax.Array, k: int
+def game_key_data_for_games(
+    base_key: jax.Array, game_indices: jax.Array
 ) -> jax.Array:
-    """Derive (B, K, 2) uint32 seat-key data from a purpose base key.
+    """Derive (B, 2) uint32 game-key data from a purpose base key.
 
     ``base_key`` must come from :func:`farkle_ii_tpu.ops.rng.purpose_base_key`
     (folded over scheme/purpose/root/k/shuffle/pair/order); this folds the
-    trailing ``(game_index, seat_index, replicate=0)`` coordinates.
+    trailing ``(game_index, seat_index=0, replicate=0)`` coordinates. The
+    game key is the chain evaluated at seat 0; individual seats separate via
+    the dice counter words (see ops/threefry.roll_dice_words), which removes
+    the K-fold key-derivation cost that dominated step setup.
     """
     from farkle_ii_tpu.ops.rng import fold_trailing
 
-    g = jnp.asarray(game_indices, dtype=jnp.uint32)[:, None]
-    s = jnp.arange(k, dtype=jnp.uint32)[None, :]
-    keys = fold_trailing(base_key, game_index=g, seat_index=s)
+    g = jnp.asarray(game_indices, dtype=jnp.uint32)
+    keys = fold_trailing(base_key, game_index=g)
     return jax.random.key_data(keys)

@@ -126,9 +126,9 @@ def _game_step_tiled(
     roll_n = state["dice_left"]
     nr = per_seat("n_rolls")
     roll_index = _select_seat(nr, seat).astype(jnp.uint32)
-    key0 = _select_seat(consts["k0"], seat)
-    key1 = _select_seat(consts["k1"], seat)
-    words = roll_dice_words(key0, key1, roll_index)
+    key0 = consts["k0"]
+    key1 = consts["k1"]
+    words = roll_dice_words(key0, key1, roll_index, seat.astype(jnp.uint32))
     dice = [(w % jnp.uint32(6)).astype(jnp.int32) + 1 for w in words]
     faces = [jnp.where(roll_n > lane, d, 0) for lane, d in enumerate(dice)]
 
@@ -374,8 +374,8 @@ def make_advance_kernel(
             "st": [params_ref[j] for j in range(k)],
             "dt": [params_ref[k + j] for j in range(k)],
             "fl": [params_ref[2 * k + j] for j in range(k)],
-            "k0": [keys_ref[j] for j in range(k)],
-            "k1": [keys_ref[k + j] for j in range(k)],
+            "k0": keys_ref[0],
+            "k1": keys_ref[1],
         }
         names = sorted(state)
 
@@ -443,7 +443,7 @@ def _to_tiles(arr: jax.Array, batch_padded: int) -> jax.Array:
 
 
 def play_games_pallas(
-    seat_key_data: jax.Array,  # (B, K, 2) uint32
+    game_key_data: jax.Array,  # (B, 2) uint32
     score_thresholds: jax.Array,  # (B, K) int32
     dice_thresholds: jax.Array,
     flags: jax.Array,
@@ -474,8 +474,8 @@ def play_games_pallas(
     )
     keys = jnp.stack(
         [
-            *[_to_tiles(seat_key_data[:, j, 0], batch_padded) for j in range(k)],
-            *[_to_tiles(seat_key_data[:, j, 1], batch_padded) for j in range(k)],
+            _to_tiles(game_key_data[:, 0], batch_padded),
+            _to_tiles(game_key_data[:, 1], batch_padded),
         ]
     )
 

@@ -57,7 +57,7 @@ def simulate_many_games(
     dt = jnp.broadcast_to(jnp.asarray(p.dice_threshold)[None, :], (n_games, k))
     fl = jnp.broadcast_to(jnp.asarray(p.flags)[None, :], (n_games, k))
     base = rng.purpose_base_key(RandomPurpose.PLAYER, root_seed=seed, k=k)
-    kd = gk.seat_key_data_for_games(base, jnp.arange(n_games), k)
+    kd = gk.game_key_data_for_games(base, jnp.arange(n_games))
     result = jax.jit(
         lambda kd, st, dt, fl: gk.play_games(
             kd, st, dt, fl, target_score=target_score, max_rounds=max_rounds

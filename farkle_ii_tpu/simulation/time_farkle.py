@@ -37,7 +37,7 @@ def measure_sim_times(cfg, *, n_games: int = 8192, k: int = 5) -> dict[str, floa
     base = rng.purpose_base_key(
         rng.RandomPurpose.PLAYER, root_seed=cfg.sim.seed, k=k
     )
-    kd = gk.seat_key_data_for_games(base, jnp.arange(n_games), k)
+    kd = gk.game_key_data_for_games(base, jnp.arange(n_games))
 
     run = jax.jit(gk.play_games)
 

@@ -8,8 +8,8 @@ one fused XLA program:
 1. per-shuffle strategy permutations are generated on device from their
    semantic coordinate (namespace 101), then split contiguously into
    ``n_strategies / k`` tables — same seating rule as the reference;
-2. every game in the batch derives its per-seat dice streams from
-   ``(root, k, shuffle, game, seat)`` coordinates (namespace 103);
+2. every game derives its dice streams from ``(root, k, shuffle, game)``
+   coordinates (namespace 103); seats separate via the in-kernel counter;
 3. the whole batch advances through the game kernel's single while_loop;
 4. results are reduced on device into per-strategy win counts, outcome
    exposures, and winner-metric sums via ``segment_sum`` — the TPU analogue
@@ -155,15 +155,14 @@ def play_shuffles(
     )  # (B,)
     game_idx = jnp.tile(jnp.arange(g, dtype=jnp.uint32), ns)  # (B,)
 
-    seat_keys = rng.vector_coordinate_keys(
+    game_keys = rng.vector_coordinate_keys(
         rng.RandomPurpose.TOURNAMENT_PLAYER,
         root_seed=spec.root_seed,
         k=spec.k,
-        shuffle_index=shuffle_per_game[:, None],
-        game_index=game_idx[:, None],
-        seat_index=jnp.arange(k, dtype=jnp.uint32)[None, :],
+        shuffle_index=shuffle_per_game,
+        game_index=game_idx,
     )
-    key_data = jax.random.key_data(seat_keys)  # (B, k, 2)
+    key_data = jax.random.key_data(game_keys)  # (B, 2)
 
     result = gk.play_games(
         key_data, st, dt, fl,

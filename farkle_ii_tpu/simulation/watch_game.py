@@ -29,14 +29,15 @@ def watch_game(*, seed: int = 0, k: int = 2, out=print) -> None:
         out(f"P{i + 1}: {s}")
 
     base = rng.purpose_base_key(rng.RandomPurpose.PLAYER, root_seed=seed, k=k)
-    key_data = np.asarray(gk.seat_key_data_for_games(base, jnp.arange(1), k))[0]
+    key_data = np.asarray(gk.game_key_data_for_games(base, jnp.arange(1)))[0]
 
     def dice_source(seat: int, roll_index: int, n: int):
         d = np.asarray(
             roll_dice(
-                jnp.uint32(key_data[seat, 0]),
-                jnp.uint32(key_data[seat, 1]),
+                jnp.uint32(key_data[0]),
+                jnp.uint32(key_data[1]),
                 jnp.uint32(roll_index),
+                jnp.uint32(seat),
             )
         )[:n]
         faces = [int(x) for x in d]

@@ -21,7 +21,7 @@ def test_compacted_equals_plain():
     base = rng.purpose_base_key(
         rng.RandomPurpose.TOURNAMENT_PLAYER, root_seed=9, k=k, shuffle_index=0
     )
-    kd = gk.seat_key_data_for_games(base, jnp.arange(b), k)
+    kd = gk.game_key_data_for_games(base, jnp.arange(b))
 
     plain = jax.jit(
         lambda *a: gk.play_games(*a, compact=False)

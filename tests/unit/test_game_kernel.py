@@ -19,22 +19,28 @@ from farkle_ii_tpu.simulation import strategies as S
 MAX_ROLLS = 1024
 
 
-@jax.jit
-def _all_dice(seat_key_data):
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=1)
+def _all_dice(game_key_data, k: int):
     """Precompute dice for every (game, seat, roll_index) in one XLA call."""
     from farkle_ii_tpu.ops.threefry import roll_dice
 
-    b, k, _ = seat_key_data.shape
-    flat = seat_key_data.reshape(b * k, 2)
+    b, _ = game_key_data.shape
     rolls = jnp.arange(MAX_ROLLS, dtype=jnp.uint32)
-    dice = jax.vmap(
-        lambda kd: roll_dice(
-            jnp.broadcast_to(kd[0], (MAX_ROLLS,)),
-            jnp.broadcast_to(kd[1], (MAX_ROLLS,)),
-            rolls,
-        )
-    )(flat)
-    return dice.reshape(b, k, MAX_ROLLS, 6)
+    seats = jnp.arange(k, dtype=jnp.uint32)
+    dice = jax.vmap(  # over games
+        lambda kd: jax.vmap(  # over seats
+            lambda s: roll_dice(
+                jnp.broadcast_to(kd[0], (MAX_ROLLS,)),
+                jnp.broadcast_to(kd[1], (MAX_ROLLS,)),
+                rolls,
+                jnp.broadcast_to(s, (MAX_ROLLS,)),
+            )
+        )(seats)
+    )(game_key_data)
+    return dice  # (b, k, MAX_ROLLS, 6)
 
 
 def make_dice_source(dice_row):
@@ -61,7 +67,7 @@ def run_lockstep(k, n_games, seed, strategy_pool, target_score=10_000, max_round
     base = rng.purpose_base_key(
         rng.RandomPurpose.TOURNAMENT_PLAYER, root_seed=seed, k=k, shuffle_index=0
     )
-    key_data = gk.seat_key_data_for_games(base, jnp.arange(n_games), k)
+    key_data = gk.game_key_data_for_games(base, jnp.arange(n_games))
 
     result = jax.jit(
         lambda kd, a, b, c: gk.play_games(
@@ -70,7 +76,7 @@ def run_lockstep(k, n_games, seed, strategy_pool, target_score=10_000, max_round
     )(key_data, st, dt, fl)
     result = jax.tree.map(np.asarray, result)
 
-    all_dice = np.asarray(_all_dice(key_data))
+    all_dice = np.asarray(_all_dice(key_data, k))
     for g in range(n_games):
         host = HostGame(
             strats[g],

@@ -23,7 +23,7 @@ def test_pallas_matches_xla(k, b):
     base = rng.purpose_base_key(
         rng.RandomPurpose.TOURNAMENT_PLAYER, root_seed=31, k=k, shuffle_index=0
     )
-    kd = gk.seat_key_data_for_games(base, jnp.arange(b), k)
+    kd = gk.game_key_data_for_games(base, jnp.arange(b))
 
     xla = jax.jit(lambda *a: gk.play_games(*a, compact=False))(kd, st, dt, fl)
     pallas = play_games_pallas(kd, st, dt, fl, interpret=True)
@@ -44,7 +44,7 @@ def test_pallas_low_target_final_round():
     dt = jnp.asarray(p.dice_threshold.reshape(b, k))
     fl = jnp.asarray(p.flags.reshape(b, k))
     base = rng.purpose_base_key(rng.RandomPurpose.PLAYER, root_seed=5, k=k)
-    kd = gk.seat_key_data_for_games(base, jnp.arange(b), k)
+    kd = gk.game_key_data_for_games(base, jnp.arange(b))
     xla = jax.jit(
         lambda *a: gk.play_games(*a, target_score=1000, compact=False)
     )(kd, st, dt, fl)
