@@ -259,6 +259,65 @@ def aggregate(
     )
 
 
+def aggregate_from_permutation(
+    result: gk.GameResult, seat_ids: jax.Array, n_strategies: int, k: int
+) -> TournamentAggregates:
+    """Permutation-structured reduction: gathers instead of scatter-adds.
+
+    Every strategy is seated exactly once per shuffle, so the per-shuffle
+    seat assignment is a permutation of the grid. Inverting it turns every
+    per-strategy sum into a *gather* (fast on TPU) followed by a clean
+    reduction over the shuffle axis — replacing ~40 segment-sum scatters
+    that measured ~80 ms/step. Bit-identical to :func:`aggregate` (pure
+    integer sums, order-independent); tests assert equality.
+    """
+    ns_g, _ = seat_ids.shape
+    perm = seat_ids.reshape(-1, n_strategies)  # (NS, S)
+    ns = perm.shape[0]
+    g = n_strategies // k
+    inv = jnp.argsort(perm, axis=1)  # (NS, S): position of strategy s
+
+    completed = result.completed.reshape(ns, g)
+    winner_seat = result.winner_seat.reshape(ns, g)
+    # per-position values (NS, S): position p belongs to game p//k, seat p%k
+    pos_game = jnp.arange(n_strategies, dtype=jnp.int32) // k
+    pos_seat = jnp.arange(n_strategies, dtype=jnp.int32) % k
+    completed_pos = completed[:, pos_game]
+    win_pos = completed_pos & (winner_seat[:, pos_game] == pos_seat[None, :])
+
+    def gsum(pos_values):  # (NS, S) -> (S,)
+        return jnp.take_along_axis(pos_values, inv, axis=1).sum(
+            axis=0, dtype=jnp.int32
+        )
+
+    attempted = jnp.full((n_strategies,), ns, dtype=jnp.int32)
+    completed_exp = gsum(completed_pos.astype(jnp.int32))
+    wins = gsum(win_pos.astype(jnp.int32))
+
+    metrics, _ = winner_metrics(result)  # (B, M)
+    masked = jnp.where(result.completed[:, None], metrics, 0).reshape(ns, g, N_METRICS)
+    # expand winner metrics to positions, zeroed off the winner's seat
+    metrics_pos = jnp.where(
+        win_pos[:, :, None], masked[:, pos_game, :], 0
+    )  # (NS, S, M)
+    gathered = jnp.take_along_axis(metrics_pos, inv[:, :, None], axis=1)
+    hi = gathered // _SPLIT
+    lo = gathered % _SPLIT
+    return TournamentAggregates(
+        wins=wins,
+        attempted_exposures=attempted,
+        completed_exposures=completed_exp,
+        safety_limit_exposures=attempted - completed_exp,
+        games_attempted=jnp.asarray(ns * g, dtype=jnp.int32),
+        games_completed=result.completed.astype(jnp.int32).sum(),
+        games_safety_limit=(~result.completed).astype(jnp.int32).sum(),
+        metric_sums=gathered.sum(axis=0, dtype=jnp.int32),
+        metric_sq_hi2=(hi * hi).sum(axis=0, dtype=jnp.int32),
+        metric_sq_hilo=(hi * lo).sum(axis=0, dtype=jnp.int32),
+        metric_sq_lo2=(lo * lo).sum(axis=0, dtype=jnp.int32),
+    )
+
+
 def play_and_aggregate(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
@@ -266,7 +325,7 @@ def play_and_aggregate(
 ) -> TournamentAggregates:
     """Fused play + reduce for one shuffle batch (the jit unit)."""
     result, seat_ids = play_shuffles(spec, params, shuffle_indices)
-    return aggregate(result, seat_ids, spec.n_strategies)
+    return aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
 
 
 def play_and_aggregate_with_rows(
