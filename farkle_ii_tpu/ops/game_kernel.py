@@ -469,11 +469,10 @@ def play_games(
     max_steps = (max_rounds + 1) * k * (ROLL_LIMIT + 2)
 
     def run_phase(state, kd, st, dt, fl, active_floor):
+        floor = max(active_floor or 0, 0)
+
         def cond(s: GameState):
-            going = jnp.any(~s.done) & (s.step < max_steps)
-            if active_floor is not None:
-                going &= (~s.done).sum() > active_floor
-            return going
+            return ((~s.done).sum() > floor) & (s.step < max_steps)
 
         def body(s: GameState):
             return step(s, kd, st, dt, fl)
