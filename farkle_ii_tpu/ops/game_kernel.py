@@ -8,9 +8,10 @@ whole batch advances through a single flattened *roll-step* loop:
 * state is a struct-of-arrays over a static batch of ``B`` games with ``K``
   seats each (all int32 / bool, fixed shapes);
 * every iteration performs exactly one roll for the current seat of every
-  still-active game: draw dice, score via a dense table gather, run the
-  vectorized smart-discard scan, apply the continue/bank algebra, and handle
-  turn/round/final-round transitions with masks;
+  still-active game: draw dice (two threefry hashes), score with branchless
+  vector math, run the vectorized smart-discard scan, apply the
+  continue/bank algebra, and handle turn/round/final-round transitions with
+  masks;
 * games that finish keep riding the loop as masked no-ops until the whole
   batch is done (``lax.while_loop`` over ``any(~done)``).
 
@@ -419,7 +420,7 @@ def make_game_step(
 # gather/scatter; above it, once the active count drops under B/ratio the
 # remaining games are gathered into a dense small batch
 _COMPACT_MIN_BATCH = 4096
-_COMPACT_RATIOS = (8, 64)
+_COMPACT_RATIOS = (8, 64, 512)
 
 
 def _gather_state(state: GameState, idx: jax.Array) -> GameState:
@@ -456,9 +457,9 @@ def play_games(
     few hundred roll-steps; rare near-safety-limit games need thousands), and
     the while_loop pays full-batch cost per iteration until the *last* game
     finishes. For large batches the loop therefore runs in phases: once the
-    active count drops below B/8 (then B/64), the unfinished games are
-    gathered into a dense small batch that continues alone, and their final
-    state is scattered back. Results are bit-identical — games are
+    active count drops below B/8 (then B/64, B/512), the unfinished games
+    are gathered into a dense small batch that continues alone, and their
+    final state is scattered back. Results are bit-identical — games are
     independent and every dice stream is coordinate-addressed — only the
     wasted masked-lane work disappears.
     """

@@ -1,10 +1,14 @@
 """Pallas TPU mega-kernel: the whole game loop VMEM-resident.
 
-The XLA `lax.while_loop` kernel (ops/game_kernel.py) re-reads and re-writes
-the full game state from HBM every roll-step; profiling shows the step is
-memory-bound at ~20% of HBM bandwidth. This kernel keeps the *entire* batch
-state in VMEM across iterations: one `pallas_call` advances every game by up
-to ``max_iters`` roll-steps touching HBM exactly twice (state in, state out).
+Experimental alternate backend. This kernel keeps the *entire* batch state
+in VMEM across iterations: one ``pallas_call`` advances every game by up to
+``max_iters`` roll-steps touching HBM exactly twice (state in, state out).
+Measured outcome on v5e: bit-identical results but ~5x slower than the
+compacted XLA kernel — Mosaic's codegen for this elementwise op soup loses
+to XLA:TPU's fusion, and VMEM caps the batch near 16k games. It is kept as
+a tested, working demonstration of the VMEM-residency design and as the
+starting point for future Mosaic tuning; the production path is
+ops/game_kernel.play_games.
 
 Layout: all mutable state packs into one ``(S, R, 128)`` int32 array
 (``B = R * 128`` games; slot ``S`` indexed statically), which satisfies the
