@@ -57,7 +57,7 @@ def main() -> None:
     assert int(np.asarray(agg.games_attempted)) == games_per_step
 
     # timed steady-state, dispatch pipelined, every result fetched
-    n_steps = 6 if platform != "cpu" else 2
+    n_steps = 12 if platform != "cpu" else 2
     start = time.perf_counter()
     aggs = [
         step(jnp.arange(ns * (i + 1), ns * (i + 2), dtype=jnp.uint32))
