@@ -210,6 +210,7 @@ class TPUConfig:
     mesh_devices: int | None = None  # None = all available
     aot_cache: bool = True
     donate_state: bool = True
+    profile_dir: str | None = None  # jax.profiler trace output for one cell run
 
 
 @dataclass

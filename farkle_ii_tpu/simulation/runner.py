@@ -302,6 +302,11 @@ def run_cell(
             except Exception as exc:
                 logger.warning("block %s unusable (%s); will replay", path.name, exc)
 
+    if cfg.tpu.profile_dir:
+        # optional jax profiler trace over the executed blocks (reference
+        # tracing analogue: profiling HTML snapshots / throughput probe)
+        jax.profiler.start_trace(cfg.tpu.profile_dir)
+
     start = time.perf_counter()
     games_done = 0
     for batch_id in range(plan.batch_count):
@@ -347,6 +352,8 @@ def run_cell(
                 f"({games_done:,} games)"
             )
     elapsed = max(time.perf_counter() - start, 1e-9)
+    if cfg.tpu.profile_dir:
+        jax.profiler.stop_trace()
 
     total.check_conservation()
     expected_games = plan.required_shuffles * plan.games_per_shuffle
