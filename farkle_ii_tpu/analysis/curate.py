@@ -11,7 +11,6 @@ from __future__ import annotations
 import hashlib
 import logging
 
-import pyarrow.parquet as pq
 
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.utils.artifacts import (

@@ -25,8 +25,6 @@ ROLL_LIMIT deviation.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,7 @@ stable seat-order tie-breaking, enforced by :func:`validate_rows_table`
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any
 
 import numpy as np
 import pyarrow as pa

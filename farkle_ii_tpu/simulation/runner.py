@@ -30,7 +30,6 @@ from pathlib import Path
 from typing import Any, Callable
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
@@ -40,7 +39,6 @@ from farkle_ii_tpu.simulation.workload import (
     TournamentWorkloadPlan,
     WorkloadCapExceeded,
     plan_tournament_workload,
-    write_workload_plan,
 )
 from farkle_ii_tpu.utils import manifest as mf
 from farkle_ii_tpu.utils.artifacts import (

@@ -38,7 +38,6 @@ import numpy as np
 
 from farkle_ii_tpu.ops import game_kernel as gk
 from farkle_ii_tpu.ops import rng
-from farkle_ii_tpu.simulation.strategies import StrategyParams
 
 # Per-winning-strategy metric fields, order-compatible with the reference
 # (run_tournament.py:98-110).
