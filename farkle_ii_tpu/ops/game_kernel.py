@@ -480,35 +480,53 @@ def play_games(
 
         return jax.lax.while_loop(cond, body, state)
 
-    state = init_state(batch, k)
     if not compact or batch < _COMPACT_MIN_BATCH:
-        final = run_phase(state, game_key_data, score_thresholds,
+        final = run_phase(init_state(batch, k), game_key_data, score_thresholds,
                           dice_thresholds, flags, None)
         return finalize(final, k=k)
 
-    kd, st, dt, fl = game_key_data, score_thresholds, dice_thresholds, flags
-    # original-index bookkeeping across compaction levels
-    index = jnp.arange(batch, dtype=jnp.int32)
-    full_state = None  # (state, idx) chain for scattering back
+    # Pad the compacted path to a _COMPACT_MIN_BATCH multiple: irregular
+    # batch sizes triggered hard TPU-runtime faults in the compaction
+    # argsort/gather sequence on some shapes (observed at B = 110,940);
+    # padding games start done, never roll, and are sliced off before
+    # finalize.
+    padded = -(-batch // _COMPACT_MIN_BATCH) * _COMPACT_MIN_BATCH
+    pad = padded - batch
+
+    def pad_rows(arr):
+        if pad == 0:
+            return arr
+        return jnp.pad(arr, [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
+
+    kd = pad_rows(game_key_data)
+    st = pad_rows(score_thresholds)
+    dt = pad_rows(dice_thresholds)
+    fl = pad_rows(flags)
+    state = init_state(padded, k)
+    if pad:
+        state = state._replace(done=state.done.at[batch:].set(True))
+
     chain: list[tuple[GameState, jax.Array]] = []
     for ratio in _COMPACT_RATIOS:
-        cap = batch // ratio
+        cap = padded // ratio
         state = run_phase(state, kd, st, dt, fl, cap)
         # gather the (at most cap) unfinished games into a dense batch
         order = jnp.argsort(state.done)  # unfinished first
         take = order[:cap]
         chain.append((state, take))
-        sub_index = index[take]
         state = _gather_state(state, take)
         kd = kd[take]
         st = st[take]
         dt = dt[take]
         fl = fl[take]
-        index = sub_index
     state = run_phase(state, kd, st, dt, fl, None)
     # scatter the finished stragglers back up the chain
     for parent_state, take in reversed(chain):
         state = _scatter_state(parent_state, state, take)
+    if pad:
+        state = GameState(
+            *[leaf if leaf.ndim == 0 else leaf[:batch] for leaf in state]
+        )
     return finalize(state, k=k)
 
 

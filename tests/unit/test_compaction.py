@@ -35,3 +35,24 @@ def test_compacted_equals_plain():
             np.asarray(getattr(compacted, name)),
             err_msg=name,
         )
+
+
+def test_compacted_irregular_batch_equals_plain():
+    """Non-multiple batch sizes pad internally; results still identical."""
+    grid = S.build_strategy_grid(score_thresholds=(300,), dice_thresholds=(2,))
+    k, b = 2, 5170  # odd size above the compaction threshold
+    ids = np.random.default_rng(2).integers(0, len(grid), size=(b, k))
+    p = S.pack_strategy_params([grid[int(i)] for i in ids.reshape(-1)])
+    st = jnp.asarray(p.score_threshold.reshape(b, k))
+    dt = jnp.asarray(p.dice_threshold.reshape(b, k))
+    fl = jnp.asarray(p.flags.reshape(b, k))
+    base = rng.purpose_base_key(rng.RandomPurpose.PLAYER, root_seed=3, k=k)
+    kd = gk.game_key_data_for_games(base, jnp.arange(b))
+    plain = jax.jit(lambda *a: gk.play_games(*a, compact=False))(kd, st, dt, fl)
+    compacted = jax.jit(lambda *a: gk.play_games(*a, compact=True))(kd, st, dt, fl)
+    for name in gk.GameResult._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(plain, name)),
+            np.asarray(getattr(compacted, name)),
+            err_msg=name,
+        )
