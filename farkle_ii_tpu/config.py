@@ -211,6 +211,10 @@ class TPUConfig:
     aot_cache: bool = True
     donate_state: bool = True
     profile_dir: str | None = None  # jax.profiler trace output for one cell run
+    # straggler compaction inside the game kernel: ~2-3x faster on long-tail
+    # games, but some irregular batch shapes have triggered hard TPU-runtime
+    # faults in the argsort/gather path; disable for affected workloads
+    straggler_compaction: bool = True
 
 
 @dataclass

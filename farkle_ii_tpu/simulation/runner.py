@@ -25,6 +25,8 @@ from __future__ import annotations
 import io
 import logging
 import time
+
+import jax
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable
@@ -211,7 +213,8 @@ class CellRunResult:
 
 
 def _compile_step(
-    spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool, *, with_rows: bool = False
+    spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool, *,
+    with_rows: bool = False, compact: bool = True,
 ):
     import jax
     import jax.numpy as jnp
@@ -219,12 +222,12 @@ def _compile_step(
     if with_rows:
 
         def fn(params, sh):
-            return T.play_and_aggregate_with_rows(spec, params, sh)
+            return T.play_and_aggregate_with_rows(spec, params, sh, compact=compact)
 
     else:
 
         def fn(params, sh):
-            return T.play_and_aggregate(spec, params, sh)
+            return T.play_and_aggregate(spec, params, sh, compact=compact)
 
     if use_aot_cache:
         from farkle_ii_tpu.utils.aot_cache import cached_compile
@@ -234,7 +237,8 @@ def _compile_step(
             params,
             jnp.arange(ns, dtype=jnp.uint32),
             extra_key=f"tournament-k{spec.k}-s{spec.n_strategies}-ns{ns}"
-            f"-t{spec.target_score}-r{spec.max_rounds}-rows{int(with_rows)}",
+            f"-t{spec.target_score}-r{spec.max_rounds}-rows{int(with_rows)}"
+            + ("" if compact else "-nocompact"),
         )
         return compiled
     return jax.jit(fn)
@@ -283,7 +287,11 @@ def run_cell(
         plan.shuffles_per_batch,
     )
     with_rows = cfg.sim.row_dir is not None
-    step = _compile_step(spec, params, ns_device, cfg.tpu.aot_cache, with_rows=with_rows)
+    compact = cfg.tpu.straggler_compaction
+    step = _compile_step(
+        spec, params, ns_device, cfg.tpu.aot_cache,
+        with_rows=with_rows, compact=compact,
+    )
 
     total = T.TournamentAccumulator(len(strategies))
     completed: list[int] = []
@@ -323,11 +331,31 @@ def run_cell(
             if len(idx) < ns_device:
                 # remainder runs at its own (cached) compiled shape
                 out = _compile_step(
-                    spec, params, len(idx), cfg.tpu.aot_cache, with_rows=with_rows
+                    spec, params, len(idx), cfg.tpu.aot_cache,
+                    with_rows=with_rows, compact=compact,
                 )(params, jnp.asarray(idx))
             else:
                 out = step(params, jnp.asarray(idx))
             pending.append((chunk_lo, chunk_hi, out))
+        try:
+            jax.block_until_ready([o for _, _, o in pending])
+        except Exception:
+            # device fault during a dispatched chunk: retry the whole block
+            # serially with straggler compaction disabled (some batch shapes
+            # have triggered hard TPU-runtime faults in the compaction path)
+            logger.warning(
+                "device fault in k=%d block %d; retrying without compaction",
+                n, batch_id,
+            )
+            pending = []
+            for chunk_lo in range(lo, hi, ns_device):
+                chunk_hi = min(chunk_lo + ns_device, hi)
+                idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
+                out = _compile_step(
+                    spec, params, len(idx), cfg.tpu.aot_cache,
+                    with_rows=with_rows, compact=False,
+                )(params, jnp.asarray(idx))
+                pending.append((chunk_lo, chunk_hi, out))
         for chunk_lo, chunk_hi, out in pending:
             if with_rows:
                 agg, result, seat_ids = out

@@ -128,6 +128,8 @@ def play_shuffles(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
     shuffle_indices: jax.Array,
+    *,
+    compact: bool = True,
 ) -> tuple[gk.GameResult, jax.Array]:
     """Play every game of a batch of shuffles. Jit-compatible.
 
@@ -167,6 +169,7 @@ def play_shuffles(
         key_data, st, dt, fl,
         target_score=spec.target_score,
         max_rounds=spec.max_rounds,
+        compact=compact,
     )
     return result, flat_ids
 
@@ -321,9 +324,11 @@ def play_and_aggregate(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
     shuffle_indices: jax.Array,
+    *,
+    compact: bool = True,
 ) -> TournamentAggregates:
     """Fused play + reduce for one shuffle batch (the jit unit)."""
-    result, seat_ids = play_shuffles(spec, params, shuffle_indices)
+    result, seat_ids = play_shuffles(spec, params, shuffle_indices, compact=compact)
     return aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
 
 
@@ -331,9 +336,11 @@ def play_and_aggregate_with_rows(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
     shuffle_indices: jax.Array,
+    *,
+    compact: bool = True,
 ):
     """Play + reduce, also returning per-game results for row export."""
-    result, seat_ids = play_shuffles(spec, params, shuffle_indices)
+    result, seat_ids = play_shuffles(spec, params, shuffle_indices, compact=compact)
     return aggregate(result, seat_ids, spec.n_strategies), result, seat_ids
 
 
