@@ -556,13 +556,28 @@ STAGE_CACHE_SCOPES: dict[str, tuple[str, ...]] = {
 }
 
 
+# execution-only knobs: they control device chunking/dispatch, never results
+# (game RNG streams are coordinate-addressed, so chunk boundaries cannot
+# change any outcome), and therefore must not invalidate stage caches
+EXECUTION_ONLY_KEYS: dict[str, frozenset[str]] = {
+    "sim": frozenset({"shuffles_per_device_batch"}),
+}
+
+
 def compute_stage_config_sha(cfg: AppConfig, stage_key: str) -> str:
     """Sha over only the stage's cache-scope sections (reference :1843)."""
     scope = STAGE_CACHE_SCOPES.get(stage_key)
     if scope is None:
         raise KeyError(f"stage {stage_key!r} has no declared cache scope")
     full = cfg.to_dict()
-    scoped = {name: full[name] for name in scope}
+    scoped = {
+        name: {
+            key: value
+            for key, value in full[name].items()
+            if key not in EXECUTION_ONLY_KEYS.get(name, frozenset())
+        }
+        for name in scope
+    }
     payload = f"{stage_key}\x00v{CONFIG_SHA_VERSION}\x00{_canonical(scoped)}"
     return hashlib.sha256(payload.encode()).hexdigest()
 

@@ -89,6 +89,17 @@ def test_stage_scoped_sha_ignores_unrelated_sections():
         C.compute_stage_config_sha(cfg1, "nope")
 
 
+def test_stage_sha_ignores_execution_only_knobs():
+    # device chunking cannot change results (coordinate-addressed RNG), so it
+    # must not invalidate simulation caches
+    cfg1 = C.AppConfig()
+    cfg2 = C.AppConfig()
+    cfg2.sim.shuffles_per_device_batch = 7
+    assert C.compute_stage_config_sha(cfg1, "simulation") == C.compute_stage_config_sha(
+        cfg2, "simulation"
+    )
+
+
 def test_freshness_key_contains_contract_fields():
     cfg = C.AppConfig()
     fk = cfg.freshness_key()
