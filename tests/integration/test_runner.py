@@ -176,3 +176,41 @@ def test_watch_game_runs(capsys):
     text = "\n".join(lines)
     assert "P1" in text and "rolls" in text
     assert ("Winner" in text) or ("Safety limit" in text)
+
+
+def test_device_fault_block_retry(cfg, monkeypatch, caplog):
+    """A device fault mid-block falls back to a nocompact serial retry with
+    identical totals (guards the TPU worker-crash mitigation)."""
+    import logging
+
+    import jax
+
+    baseline = R.run_simulation(cfg, progress=lambda m: None)
+    base_acc = baseline["results"][2].accumulator
+
+    import copy
+    import tempfile
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.data_dir = tempfile.mkdtemp()
+    C.assign_config_sha(cfg2)
+
+    real = jax.block_until_ready
+    state = {"fired": False}
+
+    def flaky(x):
+        if not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("UNAVAILABLE: TPU worker process crashed (injected)")
+        return real(x)
+
+    monkeypatch.setattr(jax, "block_until_ready", flaky)
+    with caplog.at_level(logging.WARNING, logger="farkle_ii_tpu"):
+        out = R.run_simulation(cfg2, progress=lambda m: None)
+    assert state["fired"]
+    assert any("retrying without compaction" in r.message for r in caplog.records)
+    acc = out["results"][2].accumulator
+    assert acc.games_attempted == base_acc.games_attempted
+    assert np.array_equal(np.asarray(acc.wins), np.asarray(base_acc.wins))
+    assert np.array_equal(acc.metric_sums, base_acc.metric_sums)
+    assert np.array_equal(acc.metric_sq_sums, base_acc.metric_sq_sums)
