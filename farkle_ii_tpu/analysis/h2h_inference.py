@@ -33,6 +33,7 @@ from scipy.stats import norm
 
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.utils.artifacts import (
+    method_contract,
     read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
@@ -507,6 +508,9 @@ def run_h2h_inference(cfg: AppConfig, *, force: bool = False) -> pd.DataFrame:
     write_parquet_artifact_atomic(
         pa.Table.from_pandas(estimates, preserve_index=False), inference_path(cfg),
         producer="h2h_inference", scope="h2h_2p",
+        method=method_contract(
+            "h2h_score_test", alpha=float(plan["family_alpha"]), adjustment="holm"
+        ),
         metadata={
             "operation": "seat_adjusted_inference",
             "uncertainty_method": SCORE_TEST_ID,

@@ -29,6 +29,7 @@ from farkle_ii_tpu.simulation.strategies import (
     ThresholdStrategy,
 )
 from farkle_ii_tpu.utils.artifacts import (
+    method_contract,
     read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
@@ -304,7 +305,12 @@ def run(cfg: AppConfig, *, force: bool = False) -> None:
             path = out_dir / name
             write_parquet_artifact_atomic(
                 pa.Table.from_pandas(frame, preserve_index=False), path,
-                producer="hgb", scope="across_k",
+                producer="hgb", scope="across_k", k_support=[k],
+                method=method_contract(
+                    "hgb_importance",
+                    max_depth=cfg.hgb.max_depth,
+                    n_estimators=cfg.hgb.n_estimators,
+                ),
                 metadata={"k": k, "interpretation": "predictive_association_not_causal"},
             )
             outputs.append(path)

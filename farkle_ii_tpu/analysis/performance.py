@@ -33,6 +33,7 @@ from scipy.stats import kendalltau, norm, spearmanr, t as t_dist
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.ops.rng import RandomPurpose, coordinate_numpy_rng
 from farkle_ii_tpu.utils.artifacts import (
+    method_contract,
     read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
@@ -488,10 +489,14 @@ def player_count_effect_diagnostics(
     return pd.DataFrame(rows)
 
 
-def _publish(cfg: AppConfig, frame: pd.DataFrame, path: Path, *, scope: str, op: str):
+def _publish(
+    cfg: AppConfig, frame: pd.DataFrame, path: Path, *, scope: str, op: str,
+    method: dict | None = None,
+):
     table = pa.Table.from_pandas(frame, preserve_index=False)
     write_parquet_artifact_atomic(
         table, path, producer="performance", scope=scope,
+        method=method if method is not None else method_contract("wilson_ci", confidence=0.95),
         metadata={
             "operation": op,
             "baseline": "chance_1_over_k",
@@ -545,7 +550,15 @@ def build_canonical_performance(cfg: AppConfig, *, force: bool = False) -> Perfo
     )
     _publish(cfg, across, artifacts.across_k, scope="across_k", op="equal_k_mean")
     bootstrap, contrasts = joint_batch_resampling(cfg, frames, across, strategies, required_k)
-    _publish(cfg, bootstrap, artifacts.bootstrap, scope="across_k", op="joint_batch_bootstrap")
+    _publish(
+        cfg, bootstrap, artifacts.bootstrap, scope="across_k",
+        op="joint_batch_bootstrap",
+        method=method_contract(
+            "bootstrap",
+            n_resamples=cfg.screening.bootstrap_replicates,
+            rng_namespace=400,
+        ),
+    )
     _publish(
         cfg, contrasts, artifacts.control_contrasts, scope="across_k",
         op="control_contrasts",

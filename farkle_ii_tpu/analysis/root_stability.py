@@ -28,6 +28,7 @@ from scipy.stats import kendalltau, spearmanr
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.ops.rng import RandomPurpose, coordinate_numpy_rng
 from farkle_ii_tpu.utils.artifacts import (
+    method_contract,
     read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
@@ -144,7 +145,12 @@ def build_two_root_stability(
     )
     write_parquet_artifact_atomic(
         pa.Table.from_pandas(frame, preserve_index=False), stability_path(pair_cfg),
-        producer="root_stability", scope="cross_seed",
+        producer="root_stability", scope="cross_seed", seed_scope="seed_pair",
+        method=method_contract(
+            "bootstrap",
+            n_resamples=min(pair_cfg.screening.bootstrap_replicates, 500),
+            rng_namespace=401,
+        ),
         metadata={"operation": "two_root_discrepancy", "roots": [cfg_a.sim.seed, cfg_b.sim.seed]},
     )
 

@@ -28,7 +28,9 @@ from scipy.stats import spearmanr
 
 from farkle_ii_tpu.analysis.trueskill_model import Rating, TrueSkillEnv
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
+from farkle_ii_tpu.analysis import trueskill_model as TM
 from farkle_ii_tpu.utils.artifacts import (
+    method_contract,
     read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
@@ -274,10 +276,15 @@ def run(cfg: AppConfig, *, force: bool = False) -> None:
         write_parquet_artifact_atomic(
             pa.Table.from_pandas(frame, preserve_index=False), path,
             producer="trueskill", scope="by_k",
+            k_support=[k], seed_scope="single_seed",
+            method=method_contract(
+                "trueskill_ep",
+                mu0=TM.DEFAULT_MU, sigma0=TM.DEFAULT_SIGMA,
+                beta=cfg.trueskill.beta, tau=cfg.trueskill.tau,
+            ),
             metadata={
                 "k": k, "method_version": TRUESKILL_METHOD_VERSION,
                 "conditioning": TRUESKILL_CONDITIONING,
-                "beta": cfg.trueskill.beta, "tau": cfg.trueskill.tau,
             },
         )
         outputs.append(path)

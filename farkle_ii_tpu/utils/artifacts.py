@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
+import time
 from pathlib import Path
-from typing import Any, Mapping
+from typing import Any, Callable, Mapping, TypeVar
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -22,6 +24,78 @@ import pyarrow.parquet as pq
 from farkle_ii_tpu.utils.writer import atomic_path, write_json_atomic
 
 ARTIFACT_CONTRACT_VERSION = 2
+
+logger = logging.getLogger(__name__)
+
+_T = TypeVar("_T")
+
+# tagged method contracts: every statistical artifact declares which method
+# produced it and the parameters that would be needed to reproduce it
+# (reference utils/artifact_contract.py:127-199 carries an analogous tagged
+# union; the kinds here are the methods this pipeline actually ships)
+METHOD_CONTRACT_KINDS: dict[str, frozenset[str]] = {
+    # deterministic integer aggregation over played games — no free parameters
+    "exact_counts": frozenset(),
+    "wilson_ci": frozenset({"confidence"}),
+    "bootstrap": frozenset({"n_resamples", "rng_namespace"}),
+    "trueskill_ep": frozenset({"mu0", "sigma0", "beta", "tau"}),
+    "hgb_importance": frozenset({"max_depth", "n_estimators"}),
+    "h2h_score_test": frozenset({"alpha", "adjustment"}),
+    "pareto_front": frozenset({"objectives"}),
+}
+
+
+def method_contract(kind: str, **params: Any) -> dict[str, Any]:
+    """Build a validated tagged method-contract payload."""
+    required = METHOD_CONTRACT_KINDS.get(kind)
+    if required is None:
+        raise ValueError(
+            f"unknown method-contract kind {kind!r}; "
+            f"known: {sorted(METHOD_CONTRACT_KINDS)}"
+        )
+    missing = required - params.keys()
+    if missing:
+        raise ValueError(f"method contract {kind!r} missing params {sorted(missing)}")
+    return {"kind": kind, "params": params}
+
+
+def validate_method_contract(payload: Mapping[str, Any]) -> None:
+    kind = payload.get("kind")
+    required = METHOD_CONTRACT_KINDS.get(kind)  # type: ignore[arg-type]
+    if required is None:
+        raise ArtifactValidationError(f"unknown method-contract kind {kind!r}")
+    missing = required - dict(payload.get("params") or {}).keys()
+    if missing:
+        raise ArtifactValidationError(
+            f"method contract {kind!r} missing params {sorted(missing)}"
+        )
+
+
+def retry_transient_io(
+    fn: Callable[[], _T],
+    *,
+    retries: int = 3,
+    base_delay: float = 0.1,
+    what: str = "io operation",
+) -> _T:
+    """Run ``fn`` with bounded exponential backoff on transient OS errors.
+
+    Reference parity: ``utils/artifact_contract.py:49-95``. Only ``OSError``
+    is retried — contract violations and logic errors propagate immediately.
+    """
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except OSError as exc:
+            if attempt == retries:
+                raise
+            delay = base_delay * (2**attempt)
+            logger.warning(
+                "transient IO failure in %s (%s); retry %d/%d in %.2fs",
+                what, exc, attempt + 1, retries, delay,
+            )
+            time.sleep(delay)
+    raise AssertionError("unreachable")
 
 
 def sha256_file(path: str | Path, *, chunk: int = 1 << 20) -> str:
@@ -45,11 +119,18 @@ def make_sidecar(
     producer: str,
     scope: str | None = None,
     metadata: Mapping[str, Any] | None = None,
+    k_support: list[int] | None = None,
+    seed_scope: str | None = None,
+    method: Mapping[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Create and publish the sidecar for an already-staged artifact."""
     artifact = Path(artifact)
     if not artifact.exists():
         raise FileNotFoundError(f"artifact missing before sidecar publication: {artifact}")
+    if method is not None:
+        validate_method_contract(method)
+    if seed_scope is not None and seed_scope not in ("single_seed", "seed_pair"):
+        raise ValueError(f"seed_scope must be 'single_seed' or 'seed_pair', got {seed_scope!r}")
     payload = {
         "contract_version": ARTIFACT_CONTRACT_VERSION,
         "artifact_name": artifact.name,
@@ -57,9 +138,15 @@ def make_sidecar(
         "size_bytes": artifact.stat().st_size,
         "producer": producer,
         "scope": scope,
+        "k_support": sorted(int(k) for k in k_support) if k_support else None,
+        "seed_scope": seed_scope,
+        "method": dict(method) if method is not None else None,
         "metadata": dict(metadata or {}),
     }
-    write_json_atomic(sidecar_path(artifact), payload)
+    retry_transient_io(
+        lambda: write_json_atomic(sidecar_path(artifact), payload),
+        what=f"sidecar publication for {artifact.name}",
+    )
     return payload
 
 
@@ -88,6 +175,8 @@ def validate_sidecar(artifact: str | Path, *, expected_producer: str | None = No
         raise ArtifactValidationError(
             f"producer mismatch for {artifact}: {side.get('producer')!r} != {expected_producer!r}"
         )
+    if side.get("method") is not None:
+        validate_method_contract(side["method"])
     return side
 
 
@@ -98,13 +187,19 @@ def write_parquet_artifact_atomic(
     producer: str,
     scope: str | None = None,
     metadata: Mapping[str, Any] | None = None,
+    k_support: list[int] | None = None,
+    seed_scope: str | None = None,
+    method: Mapping[str, Any] | None = None,
     compression: str = "zstd",
 ) -> dict[str, Any]:
     """Stage a parquet table atomically, then publish its sidecar."""
     path = Path(path)
     with atomic_path(path) as tmp:
         pq.write_table(table, tmp, compression=compression)
-    return make_sidecar(path, producer=producer, scope=scope, metadata=metadata)
+    return make_sidecar(
+        path, producer=producer, scope=scope, metadata=metadata,
+        k_support=k_support, seed_scope=seed_scope, method=method,
+    )
 
 
 def read_parquet_artifact(

@@ -84,3 +84,81 @@ def test_progress_logger(caplog):
         p.update(50)
         p.finish()
     assert sum("progress:" in r.message for r in caplog.records) >= 2
+
+
+def test_method_contract_tagged_union(tmp_path):
+    """Sidecars carry validated method contracts, k-support, and seed scope."""
+    import pyarrow as pa
+    import pytest
+
+    from farkle_ii_tpu.utils.artifacts import (
+        ArtifactValidationError,
+        method_contract,
+        read_parquet_artifact,
+        load_sidecar,
+        validate_sidecar,
+        write_parquet_artifact_atomic,
+    )
+
+    table = pa.table({"x": [1, 2, 3]})
+    path = tmp_path / "est.parquet"
+    write_parquet_artifact_atomic(
+        table, path, producer="performance", scope="by_k",
+        k_support=[3, 2], seed_scope="single_seed",
+        method=method_contract("wilson_ci", confidence=0.95),
+    )
+    side = validate_sidecar(path, expected_producer="performance")
+    assert side["k_support"] == [2, 3]
+    assert side["seed_scope"] == "single_seed"
+    assert side["method"] == {"kind": "wilson_ci", "params": {"confidence": 0.95}}
+    assert read_parquet_artifact(path).num_rows == 3
+
+    # unknown kinds and missing params are rejected at publication time
+    with pytest.raises(ValueError):
+        method_contract("made_up_method")
+    with pytest.raises(ValueError):
+        method_contract("bootstrap", n_resamples=400)
+    with pytest.raises(ValueError):
+        write_parquet_artifact_atomic(
+            table, tmp_path / "bad.parquet", producer="x", seed_scope="triple"
+        )
+
+    # a corrupted method payload is caught on read
+    import json
+
+    sc = path.with_name(path.name + ".sidecar.json")
+    payload = json.loads(sc.read_text())
+    payload["method"] = {"kind": "wilson_ci", "params": {}}
+    sc.write_text(json.dumps(payload))
+    with pytest.raises(ArtifactValidationError):
+        validate_sidecar(path)
+
+
+def test_retry_transient_io(caplog):
+    import logging
+
+    import pytest
+
+    from farkle_ii_tpu.utils.artifacts import retry_transient_io
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("disk hiccup")
+        return "done"
+
+    with caplog.at_level(logging.WARNING):
+        assert retry_transient_io(flaky, base_delay=0.001) == "done"
+    assert calls["n"] == 3
+
+    # non-OSErrors propagate immediately
+    def broken():
+        calls["n"] += 1
+        raise ValueError("logic bug")
+
+    calls["n"] = 0
+    with pytest.raises(ValueError):
+        retry_transient_io(broken, base_delay=0.001)
+    assert calls["n"] == 1
