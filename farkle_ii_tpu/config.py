@@ -479,6 +479,32 @@ def config_from_dict(data: Mapping[str, Any]) -> AppConfig:
     return cfg
 
 
+def expand_dotted_keys(data: Mapping[str, Any]) -> dict[str, Any]:
+    """Expand ``{"sim.seed": 7}`` into ``{"sim": {"seed": 7}}`` recursively.
+
+    Reference parity: ``utils/yaml_helpers.py:12`` — YAML presets may use
+    dotted keys as shorthand for nested sections.
+    """
+    out: dict[str, Any] = {}
+    for key, value in data.items():
+        if isinstance(value, Mapping):
+            value = expand_dotted_keys(value)
+        node = out
+        parts = str(key).split(".")
+        for part in parts[:-1]:
+            nxt = node.setdefault(part, {})
+            if not isinstance(nxt, dict):
+                raise ConfigKeyError(
+                    f"dotted key {key!r} collides with scalar at {part!r}"
+                )
+            node = nxt
+        if isinstance(value, dict) and isinstance(node.get(parts[-1]), dict):
+            node[parts[-1]] = _deep_merge(node[parts[-1]], value)
+        else:
+            node[parts[-1]] = value
+    return out
+
+
 def load_app_config(
     path: str | Path | None = None,
     *,
@@ -490,9 +516,9 @@ def load_app_config(
         raw = yaml.safe_load(Path(path).read_text(encoding="utf-8")) or {}
         if not isinstance(raw, dict):
             raise ConfigKeyError(f"config file {path} must contain a mapping")
-        merged = _deep_merge(merged, raw)
+        merged = _deep_merge(merged, expand_dotted_keys(raw))
     for overlay in overlays or []:
-        merged = _deep_merge(merged, overlay)
+        merged = _deep_merge(merged, expand_dotted_keys(overlay))
     return config_from_dict(merged)
 
 

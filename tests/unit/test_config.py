@@ -107,3 +107,17 @@ def test_freshness_key_contains_contract_fields():
     assert fk["chance_rate_by_k"] == {5: 0.2}
     assert fk["multiplicity"] == "holm_h2h"
     assert fk["conditioning"] == "unconditional_default"
+
+
+def test_dotted_yaml_keys_and_blank_preset(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("sim.seed: 7\nsim:\n  n_players_list: [2]\ntpu.aot_cache: false\n")
+    cfg = C.load_app_config(p)
+    assert cfg.sim.seed == 7
+    assert cfg.sim.n_players_list == [2]
+    assert cfg.tpu.aot_cache is False
+
+    blank = C.load_app_config("configs/blank_config.yaml")
+    assert C.compute_config_sha(blank) == C.compute_config_sha(
+        C.load_app_config(None, overlays=[{"data_dir": "data"}])
+    )
