@@ -121,3 +121,34 @@ def test_stage_stamp_binds_sidecars(tmp_path):
     assert (
         resolve_stage_state(tmp_path, "s2", config_sha="c") == StageState.COMPLETE_STALE
     )
+
+
+def _double(x):
+    return x * 2
+
+
+def test_stage_parallel_policy_and_nesting():
+    """Nested stages must not multiply workers (reference parallel.py:39)."""
+    import os
+
+    from farkle_ii_tpu.utils.parallel import (
+        process_map,
+        resolve_mp_context,
+        resolve_stage_parallel_policy,
+        stage_parallel_context,
+    )
+
+    policy = resolve_stage_parallel_policy("metrics", n_jobs=4, item_count=2)
+    assert policy.workers == 2 and not policy.nested
+    with stage_parallel_context(policy):
+        assert os.environ["OMP_NUM_THREADS"] == str(policy.native_threads)
+        inner = resolve_stage_parallel_policy("trueskill", n_jobs=8)
+        assert inner.nested and inner.workers == 1 and inner.native_threads == 1
+    again = resolve_stage_parallel_policy("x", n_jobs=3, item_count=10)
+    assert not again.nested and again.workers == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_mp_context("bogus")
+    assert process_map(_double, [1, 2, 3], n_jobs=2, mp_start_method="spawn") == [2, 4, 6]
