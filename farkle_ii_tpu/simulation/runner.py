@@ -25,6 +25,7 @@ from __future__ import annotations
 import io
 import logging
 import time
+from collections import deque
 
 import jax
 from dataclasses import dataclass
@@ -52,6 +53,9 @@ from farkle_ii_tpu.utils.stage_completion import write_stage_done
 from farkle_ii_tpu.utils.writer import atomic_path, write_json_atomic
 
 logger = logging.getLogger(__name__)
+
+# how many deterministic blocks may be dispatched ahead of absorption
+PIPELINE_BLOCK_DEPTH = 4
 
 SIM_STATE_VERSION = 1
 
@@ -219,15 +223,22 @@ def _compile_step(
     import jax
     import jax.numpy as jnp
 
+    # aggregates are packed into one int32 vector on device: remote backends
+    # pay a full round-trip per fetched array, so one buffer per chunk
     if with_rows:
 
         def fn(params, sh):
-            return T.play_and_aggregate_with_rows(spec, params, sh, compact=compact)
+            agg, result, seat_ids = T.play_and_aggregate_with_rows(
+                spec, params, sh, compact=compact
+            )
+            return T.pack_aggregates(agg), result, seat_ids
 
     else:
 
         def fn(params, sh):
-            return T.play_and_aggregate(spec, params, sh, compact=compact)
+            return T.pack_aggregates(
+                T.play_and_aggregate(spec, params, sh, compact=compact)
+            )
 
     if use_aot_cache:
         from farkle_ii_tpu.utils.aot_cache import cached_compile
@@ -315,58 +326,57 @@ def run_cell(
 
     start = time.perf_counter()
     games_done = 0
-    for batch_id in range(plan.batch_count):
-        if batch_id in resumed:
-            continue
+
+    def dispatch_block(batch_id: int, *, compact_: bool) -> list[tuple[int, int, Any]]:
+        """Dispatch every chunk of one block without waiting for results."""
         lo = batch_id * plan.shuffles_per_batch
         hi = lo + plan.shuffles_per_batch
-        acc = T.TournamentAccumulator(len(strategies))
-        # dispatch every chunk of the block before absorbing any result:
-        # jax's async dispatch pipelines the device while the host reduces,
-        # hiding the (potentially long) host<->device round-trip latency
         pending: list[tuple[int, int, Any]] = []
         for chunk_lo in range(lo, hi, ns_device):
             chunk_hi = min(chunk_lo + ns_device, hi)
             idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
-            if len(idx) < ns_device:
-                # remainder runs at its own (cached) compiled shape
+            if len(idx) == ns_device and compact_ == compact:
+                out = step(params, jnp.asarray(idx))
+            else:
+                # remainder (and retry) chunks run at their own cached shape
                 out = _compile_step(
                     spec, params, len(idx), cfg.tpu.aot_cache,
-                    with_rows=with_rows, compact=compact,
+                    with_rows=with_rows, compact=compact_,
                 )(params, jnp.asarray(idx))
-            else:
-                out = step(params, jnp.asarray(idx))
             pending.append((chunk_lo, chunk_hi, out))
+        return pending
+
+    def absorb_block(
+        batch_id: int, pending: list[tuple[int, int, Any]], *, retried: bool = False
+    ) -> None:
+        nonlocal games_done
+        acc = T.TournamentAccumulator(len(strategies))
         try:
-            jax.block_until_ready([o for _, _, o in pending])
-        except Exception:
-            # device fault during a dispatched chunk: retry the whole block
+            for chunk_lo, chunk_hi, out in pending:
+                if with_rows:
+                    packed, result, seat_ids = out
+                    _write_row_shard(
+                        cfg, n=n, spec=spec, batch_id=batch_id,
+                        shuffle_lo=chunk_lo, shuffle_hi=chunk_hi,
+                        result=result, seat_ids=np.asarray(seat_ids),
+                    )
+                else:
+                    packed = out
+                acc.absorb(T.unpack_aggregates(packed, len(strategies)))
+        except (jax.errors.JaxRuntimeError, RuntimeError, ValueError):
+            # device fault while fetching a chunk: re-dispatch the whole block
             # serially with straggler compaction disabled (some batch shapes
             # have triggered hard TPU-runtime faults in the compaction path)
+            if retried:
+                raise
             logger.warning(
                 "device fault in k=%d block %d; retrying without compaction",
                 n, batch_id,
             )
-            pending = []
-            for chunk_lo in range(lo, hi, ns_device):
-                chunk_hi = min(chunk_lo + ns_device, hi)
-                idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
-                out = _compile_step(
-                    spec, params, len(idx), cfg.tpu.aot_cache,
-                    with_rows=with_rows, compact=False,
-                )(params, jnp.asarray(idx))
-                pending.append((chunk_lo, chunk_hi, out))
-        for chunk_lo, chunk_hi, out in pending:
-            if with_rows:
-                agg, result, seat_ids = out
-                _write_row_shard(
-                    cfg, n=n, spec=spec, batch_id=batch_id,
-                    shuffle_lo=chunk_lo, shuffle_hi=chunk_hi,
-                    result=result, seat_ids=np.asarray(seat_ids),
-                )
-            else:
-                agg = out
-            acc.absorb(agg)
+            absorb_block(
+                batch_id, dispatch_block(batch_id, compact_=False), retried=True
+            )
+            return
         acc.check_conservation()
         save_block_aggregate(_block_path(cfg, n, batch_id), acc, batch_id=batch_id)
         total.merge(acc)
@@ -377,6 +387,20 @@ def run_cell(
                 f"k={n} batch {batch_id + 1}/{plan.batch_count} "
                 f"({games_done:,} games)"
             )
+
+    # cross-block pipeline: keep a few blocks' chunks dispatched ahead so the
+    # device never idles while the host absorbs aggregates and writes block
+    # artifacts (absorption is exact and order-independent, so depth only
+    # affects latency, never results)
+    inflight: deque[tuple[int, list[tuple[int, int, Any]]]] = deque()
+    for batch_id in range(plan.batch_count):
+        if batch_id in resumed:
+            continue
+        inflight.append((batch_id, dispatch_block(batch_id, compact_=compact)))
+        if len(inflight) >= PIPELINE_BLOCK_DEPTH:
+            absorb_block(*inflight.popleft())
+    while inflight:
+        absorb_block(*inflight.popleft())
     elapsed = max(time.perf_counter() - start, 1e-9)
     if cfg.tpu.profile_dir:
         jax.profiler.stop_trace()

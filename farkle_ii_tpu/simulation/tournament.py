@@ -102,6 +102,36 @@ class TournamentAggregates(NamedTuple):
     metric_sq_lo2: jax.Array  # (S, M) sum of lo^2
 
 
+def pack_aggregates(agg: TournamentAggregates) -> jax.Array:
+    """Flatten one batch's aggregates into a single int32 vector.
+
+    Remote-backend fetches cost a full round-trip per array; packing the 11
+    aggregate fields into one buffer makes each device chunk cost exactly one
+    host transfer (see ``unpack_aggregates``).
+    """
+    return jnp.concatenate([jnp.ravel(x).astype(jnp.int32) for x in agg])
+
+
+def aggregate_field_shapes(n_strategies: int) -> list[tuple[int, ...]]:
+    s, m = n_strategies, N_METRICS
+    return [(s,), (s,), (s,), (s,), (), (), (), (s, m), (s, m), (s, m), (s, m)]
+
+
+def unpack_aggregates(vec, n_strategies: int) -> TournamentAggregates:
+    """Host-side inverse of :func:`pack_aggregates` (one fetch, then views)."""
+    flat = np.asarray(vec)
+    parts = []
+    offset = 0
+    for shape in aggregate_field_shapes(n_strategies):
+        count = int(np.prod(shape)) if shape else 1
+        chunk = flat[offset : offset + count]
+        parts.append(chunk.reshape(shape) if shape else chunk[0])
+        offset += count
+    if offset != flat.shape[0]:
+        raise ValueError(f"packed aggregate length {flat.shape[0]} != expected {offset}")
+    return TournamentAggregates(*parts)
+
+
 def shuffle_seat_ids(
     spec: TournamentSpec, shuffle_indices: jax.Array
 ) -> jax.Array:

@@ -195,16 +195,18 @@ def test_device_fault_block_retry(cfg, monkeypatch, caplog):
     cfg2.data_dir = tempfile.mkdtemp()
     C.assign_config_sha(cfg2)
 
-    real = jax.block_until_ready
+    from farkle_ii_tpu.simulation import tournament as T
+
+    real = T.TournamentAccumulator.absorb
     state = {"fired": False}
 
-    def flaky(x):
+    def flaky(self, agg):
         if not state["fired"]:
             state["fired"] = True
             raise RuntimeError("UNAVAILABLE: TPU worker process crashed (injected)")
-        return real(x)
+        return real(self, agg)
 
-    monkeypatch.setattr(jax, "block_until_ready", flaky)
+    monkeypatch.setattr(T.TournamentAccumulator, "absorb", flaky)
     with caplog.at_level(logging.WARNING, logger="farkle_ii_tpu"):
         out = R.run_simulation(cfg2, progress=lambda m: None)
     assert state["fired"]

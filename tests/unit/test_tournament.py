@@ -160,3 +160,22 @@ def test_permutation_aggregate_equals_generic(params):
         np.testing.assert_array_equal(getattr(a, name), getattr(b, name), err_msg=name)
     assert a.games_attempted == b.games_attempted
     assert a.games_completed == b.games_completed
+
+
+def test_pack_unpack_aggregates_roundtrip():
+    import numpy as np
+
+    from farkle_ii_tpu.simulation import tournament as T
+
+    s = 12
+    rng = np.random.default_rng(3)  # test-only stream, not a production path
+    agg = T.TournamentAggregates(
+        *[
+            (rng.integers(0, 1000, size=shape).astype(np.int32) if shape else np.int32(rng.integers(0, 1000)))
+            for shape in T.aggregate_field_shapes(s)
+        ]
+    )
+    packed = T.pack_aggregates(agg)
+    back = T.unpack_aggregates(packed, s)
+    for a, b in zip(agg, back):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
