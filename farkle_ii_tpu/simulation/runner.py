@@ -327,6 +327,19 @@ def run_cell(
     start = time.perf_counter()
     games_done = 0
 
+    # compiled steps are memoized per (chunk size, compaction): re-tracing or
+    # re-deserializing a cached executable per block costs seconds
+    step_cache: dict[tuple[int, bool], Any] = {(ns_device, compact): step}
+
+    def step_for(size: int, compact_: bool):
+        key = (size, compact_)
+        if key not in step_cache:
+            step_cache[key] = _compile_step(
+                spec, params, size, cfg.tpu.aot_cache,
+                with_rows=with_rows, compact=compact_,
+            )
+        return step_cache[key]
+
     def dispatch_block(batch_id: int, *, compact_: bool) -> list[tuple[int, int, Any]]:
         """Dispatch every chunk of one block without waiting for results."""
         lo = batch_id * plan.shuffles_per_batch
@@ -335,14 +348,7 @@ def run_cell(
         for chunk_lo in range(lo, hi, ns_device):
             chunk_hi = min(chunk_lo + ns_device, hi)
             idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
-            if len(idx) == ns_device and compact_ == compact:
-                out = step(params, jnp.asarray(idx))
-            else:
-                # remainder (and retry) chunks run at their own cached shape
-                out = _compile_step(
-                    spec, params, len(idx), cfg.tpu.aot_cache,
-                    with_rows=with_rows, compact=compact_,
-                )(params, jnp.asarray(idx))
+            out = step_for(len(idx), compact_)(params, jnp.asarray(idx))
             pending.append((chunk_lo, chunk_hi, out))
         return pending
 
