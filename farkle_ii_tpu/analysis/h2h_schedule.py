@@ -51,6 +51,9 @@ from farkle_ii_tpu.utils.writer import write_json_atomic
 
 logger = logging.getLogger(__name__)
 
+# max games per H2H device dispatch (inside the probed fault-safe envelope)
+_H2H_GAMES_PER_DISPATCH = 16384
+
 H2H_METHOD_VERSION = 2
 SCORE_TEST_ID = "two_proportion_score_constrained_null"
 POWER_METHOD_ID = "exact_binomial_convolution_of_implemented_score_rule"
@@ -443,51 +446,58 @@ def _play_block_window(
 
     # coordinates per game (block-major, attempt-minor)
     results = np.zeros((n_blocks, window, 2), dtype=np.int32)  # completed, seat1win
+    # cap each device dispatch: (blocks x window) games per batch. Large
+    # batches both hit the TPU-runtime batch-shape fault envelope
+    # (tests/FAILURE_NOTES.md: crashes observed from B~37k up) and blow up
+    # XLA constant-folding time on CPU; a fixed power-of-two block-group size
+    # also keeps one compiled shape across shrinking pending sets (each
+    # recompile on the remote TPU backend costs minutes of lowering)
+    group = max(1, _H2H_GAMES_PER_DISPATCH // window)
+    group = 1 << (group.bit_length() - 1)  # round down to a power of two
     # group by root seed (part of the key prefix)
     for root in sorted(set(root_seeds.tolist())):
-        sel = np.flatnonzero(root_seeds == root)
-        nb = len(sel)
-        # pad the block axis to the next power of two so the compiled batch
-        # shape is reused across shrinking pending sets (each recompile on the
-        # remote TPU backend costs minutes of lowering)
-        nb_pad = 1 << (nb - 1).bit_length()
-        pad_sel = np.concatenate([sel, np.full(nb_pad - nb, sel[0])])
-        pair_g = np.repeat(pair_ids[pad_sel], window)
-        order_g = np.repeat(orders[pad_sel], window)
-        attempt_g = np.tile(attempts, nb_pad)
-        keys = rng_mod.vector_coordinate_keys(
-            rng_mod.RandomPurpose.H2H_PLAYER,
-            root_seed=int(root), k=2,
-            pair_id=jnp.asarray(pair_g),
-            order=jnp.asarray(order_g),
-            game_index=jnp.asarray(attempt_g),
-        )
-        key_data = jax.random.key_data(keys)  # (B, 2) game keys
-        st1, dt1, fl1 = params_lookup(seat1[pad_sel])
-        st2, dt2, fl2 = params_lookup(seat2[pad_sel])
-        st = jnp.asarray(
-            np.stack([np.repeat(st1, window), np.repeat(st2, window)], axis=1)
-        )
-        dt = jnp.asarray(
-            np.stack([np.repeat(dt1, window), np.repeat(dt2, window)], axis=1)
-        )
-        fl = jnp.asarray(
-            np.stack([np.repeat(fl1, window), np.repeat(fl2, window)], axis=1)
-        )
-        if getattr(cfg.tpu, "aot_cache", False):
-            from farkle_ii_tpu.utils.aot_cache import cached_compile
-
-            compiled = cached_compile(
-                gk.play_games, key_data, st, dt, fl,
-                extra_key=f"h2h-b{nb_pad}-w{window}",
+        sel_root = np.flatnonzero(root_seeds == root)
+        for group_lo in range(0, len(sel_root), group):
+            sel = sel_root[group_lo : group_lo + group]
+            nb = len(sel)
+            nb_pad = group
+            pad_sel = np.concatenate([sel, np.full(nb_pad - nb, sel[0])])
+            pair_g = np.repeat(pair_ids[pad_sel], window)
+            order_g = np.repeat(orders[pad_sel], window)
+            attempt_g = np.tile(attempts, nb_pad)
+            keys = rng_mod.vector_coordinate_keys(
+                rng_mod.RandomPurpose.H2H_PLAYER,
+                root_seed=int(root), k=2,
+                pair_id=jnp.asarray(pair_g),
+                order=jnp.asarray(order_g),
+                game_index=jnp.asarray(attempt_g),
             )
-            out = compiled(key_data, st, dt, fl)
-        else:
-            out = jax.jit(gk.play_games)(key_data, st, dt, fl)
-        completed = np.asarray(out.completed).reshape(nb_pad, window)[:nb]
-        winner = np.asarray(out.winner_seat).reshape(nb_pad, window)[:nb]
-        results[sel, :, 0] = completed.astype(np.int32)
-        results[sel, :, 1] = (completed & (winner == 0)).astype(np.int32)
+            key_data = jax.random.key_data(keys)  # (B, 2) game keys
+            st1, dt1, fl1 = params_lookup(seat1[pad_sel])
+            st2, dt2, fl2 = params_lookup(seat2[pad_sel])
+            st = jnp.asarray(
+                np.stack([np.repeat(st1, window), np.repeat(st2, window)], axis=1)
+            )
+            dt = jnp.asarray(
+                np.stack([np.repeat(dt1, window), np.repeat(dt2, window)], axis=1)
+            )
+            fl = jnp.asarray(
+                np.stack([np.repeat(fl1, window), np.repeat(fl2, window)], axis=1)
+            )
+            if getattr(cfg.tpu, "aot_cache", False):
+                from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+                compiled = cached_compile(
+                    gk.play_games, key_data, st, dt, fl,
+                    extra_key=f"h2h-b{nb_pad}-w{window}",
+                )
+                out = compiled(key_data, st, dt, fl)
+            else:
+                out = jax.jit(gk.play_games)(key_data, st, dt, fl)
+            completed = np.asarray(out.completed).reshape(nb_pad, window)[:nb]
+            winner = np.asarray(out.winner_seat).reshape(nb_pad, window)[:nb]
+            results[sel, :, 0] = completed.astype(np.int32)
+            results[sel, :, 1] = (completed & (winner == 0)).astype(np.int32)
     return results
 
 
