@@ -410,20 +410,6 @@ def _deep_merge(base: dict, overlay: Mapping) -> dict:
     return out
 
 
-def expand_dotted_keys(data: Mapping[str, Any]) -> dict[str, Any]:
-    """Expand ``{"a.b": 1}`` into ``{"a": {"b": 1}}`` recursively."""
-    out: dict[str, Any] = {}
-    for key, value in data.items():
-        if isinstance(value, Mapping):
-            value = expand_dotted_keys(value)
-        if isinstance(key, str) and "." in key:
-            head, rest = key.split(".", 1)
-            out = _deep_merge(out, {head: expand_dotted_keys({rest: value})})
-        else:
-            out = _deep_merge(out, {key: value})
-    return out
-
-
 _SECTION_TYPES: dict[str, type] = {
     f.name: f.default_factory  # type: ignore[misc]
     for f in fields(AppConfig)

@@ -121,3 +121,17 @@ def test_dotted_yaml_keys_and_blank_preset(tmp_path):
     assert C.compute_config_sha(blank) == C.compute_config_sha(
         C.load_app_config(None, overlays=[{"data_dir": "data"}])
     )
+
+
+def test_expand_dotted_keys_semantics():
+    # non-string keys are stringified path segments
+    out = C.expand_dotted_keys({5: 1})
+    assert out == {"5": 1}
+    # scalar collision raises instead of silently deep-merging
+    import pytest
+
+    with pytest.raises(C.ConfigKeyError):
+        C.expand_dotted_keys({"a": 1, "a.b": 2})
+    # dict values merge into existing nodes
+    out = C.expand_dotted_keys({"a.b": {"x": 1}, "a": {"b": {"y": 2}}})
+    assert out == {"a": {"b": {"x": 1, "y": 2}}}
