@@ -29,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from farkle_ii_tpu.simulation.tournament import (
     TournamentAggregates,
     TournamentSpec,
+    pack_aggregates,
     play_and_aggregate,
 )
 
@@ -80,6 +81,44 @@ def sharded_play_and_aggregate(spec: TournamentSpec, mesh: Mesh):
         return jax.tree.map(lambda x: jax.lax.psum(x, SHUFFLE_AXIS), agg)
 
     def step(params, shuffle_indices) -> TournamentAggregates:
+        st, dt, fl = params
+        n_dev = mesh.devices.size
+        if len(shuffle_indices) % n_dev != 0:
+            raise ValueError(
+                f"shuffle batch of {len(shuffle_indices)} not divisible by "
+                f"{n_dev} devices"
+            )
+        return run(st, dt, fl, shuffle_indices)
+
+    return jax.jit(step)
+
+
+def sharded_packed_step(spec: TournamentSpec, mesh: Mesh, *, compact: bool = True):
+    """Production multi-chip tournament step: packed aggregates over ICI.
+
+    The runner's execution unit: each device plays ``NS / n_devices`` whole
+    shuffles of the chunk locally, partial per-strategy aggregates are packed
+    into one int32 vector and ``psum``-reduced over the mesh, and the host
+    fetches the replicated vector once (same single-fetch contract as the
+    single-device packed step). Exactness: psum of int32 partials is the
+    same associative integer addition the host accumulator performs, so any
+    device count produces bit-identical totals (the mesh analogue of the
+    reference's "changing worker counts never changes results",
+    run_tournament.py:1337 + utils/parallel.py:158).
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(SHUFFLE_AXIS)),
+        out_specs=P(),
+        check_vma=False,  # see sharded_play_and_aggregate
+    )
+    def run(st, dt, fl, shuffles_local):
+        agg = play_and_aggregate(spec, (st, dt, fl), shuffles_local, compact=compact)
+        return jax.lax.psum(pack_aggregates(agg), SHUFFLE_AXIS)
+
+    def step(params, shuffle_indices):
         st, dt, fl = params
         n_dev = mesh.devices.size
         if len(shuffle_indices) % n_dev != 0:

@@ -299,6 +299,29 @@ def run_cell(
     )
     with_rows = cfg.sim.row_dir is not None
     compact = cfg.tpu.straggler_compaction
+
+    # multi-chip: shard whole shuffles over the device mesh (the production
+    # analogue of the reference's process-pool shuffle fan-out,
+    # run_tournament.py:1337). Row export needs unsharded per-game results,
+    # so it pins the single-device path.
+    avail = jax.devices()
+    n_mesh = 1
+    if not with_rows:
+        requested = cfg.tpu.mesh_devices or len(avail)
+        n_mesh = max(1, min(int(requested), len(avail)))
+    mesh = None
+    if n_mesh > 1:
+        from farkle_ii_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_mesh)
+        logger.info("k=%d: sharding shuffles over %d devices", n, n_mesh)
+    elif cfg.tpu.mesh_devices and cfg.tpu.mesh_devices > 1:
+        logger.info(
+            "k=%d: mesh of %s requested but only %d device(s)%s; running "
+            "single-device", n, cfg.tpu.mesh_devices, len(avail),
+            " (row export forces single-device)" if with_rows else "",
+        )
+
     step = _compile_step(
         spec, params, ns_device, cfg.tpu.aot_cache,
         with_rows=with_rows, compact=compact,
@@ -329,15 +352,20 @@ def run_cell(
 
     # compiled steps are memoized per (chunk size, compaction): re-tracing or
     # re-deserializing a cached executable per block costs seconds
-    step_cache: dict[tuple[int, bool], Any] = {(ns_device, compact): step}
+    step_cache: dict[tuple[int, bool, bool], Any] = {(ns_device, compact, False): step}
 
-    def step_for(size: int, compact_: bool):
-        key = (size, compact_)
+    def step_for(size: int, compact_: bool, *, sharded: bool = False):
+        key = (size, compact_, sharded)
         if key not in step_cache:
-            step_cache[key] = _compile_step(
-                spec, params, size, cfg.tpu.aot_cache,
-                with_rows=with_rows, compact=compact_,
-            )
+            if sharded:
+                from farkle_ii_tpu.parallel.mesh import sharded_packed_step
+
+                step_cache[key] = sharded_packed_step(spec, mesh, compact=compact_)
+            else:
+                step_cache[key] = _compile_step(
+                    spec, params, size, cfg.tpu.aot_cache,
+                    with_rows=with_rows, compact=compact_,
+                )
         return step_cache[key]
 
     def dispatch_block(batch_id: int, *, compact_: bool) -> list[tuple[int, int, Any]]:
@@ -345,7 +373,21 @@ def run_cell(
         lo = batch_id * plan.shuffles_per_batch
         hi = lo + plan.shuffles_per_batch
         pending: list[tuple[int, int, Any]] = []
-        for chunk_lo in range(lo, hi, ns_device):
+        pos = lo
+        if n_mesh > 1:
+            # sharded chunks: up to ns_device shuffles per device, always an
+            # exact multiple of the mesh size; the sub-mesh remainder of the
+            # block falls through to single-device chunks below
+            span = ns_device * n_mesh
+            sharded_hi = lo + ((hi - lo) // n_mesh) * n_mesh
+            while pos < sharded_hi:
+                size = min(span, sharded_hi - pos)
+                size -= size % n_mesh
+                idx = np.arange(pos, pos + size, dtype=np.uint32)
+                out = step_for(size, compact_, sharded=True)(params, jnp.asarray(idx))
+                pending.append((pos, pos + size, out))
+                pos += size
+        for chunk_lo in range(pos, hi, ns_device):
             chunk_hi = min(chunk_lo + ns_device, hi)
             idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
             out = step_for(len(idx), compact_)(params, jnp.asarray(idx))

@@ -216,3 +216,46 @@ def test_device_fault_block_retry(cfg, monkeypatch, caplog):
     assert np.array_equal(np.asarray(acc.wins), np.asarray(base_acc.wins))
     assert np.array_equal(acc.metric_sums, base_acc.metric_sums)
     assert np.array_equal(acc.metric_sq_sums, base_acc.metric_sq_sums)
+
+
+def _mini_cfg(tmp_path, sub, mesh_devices):
+    cfg = C.AppConfig()
+    cfg.data_dir = str(tmp_path / sub)
+    cfg.sim.seed = 19
+    cfg.sim.n_players_list = [3]
+    cfg.sim.expanded_metrics = True
+    cfg.sim.score_thresholds = [300]
+    cfg.sim.dice_thresholds = [2]
+    cfg.sim.smart_one_opts = [False]
+    cfg.sim.run_up_score_opts = [False]
+    cfg.sim.shuffles_per_device_batch = 2
+    cfg.screening.resolution_delta = 0.9
+    cfg.batching.target_batches = 2
+    cfg.batching.min_shuffles_per_batch = 9  # 9 % 8 != 0: exercises remainder
+    cfg.tpu.aot_cache = False
+    cfg.tpu.mesh_devices = mesh_devices
+    return C.assign_config_sha(cfg)
+
+
+def test_mesh_runner_bit_identical_to_single_device(tmp_path):
+    """Full runner over the 8-device CPU mesh == single device, bit for bit.
+
+    The mesh analogue of the reference's "changing worker counts never
+    changes results" contract (run_tournament.py:1337, docs contract).
+    """
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest virtual CPU mesh
+    cfg1 = _mini_cfg(tmp_path, "one", 1)
+    cfg8 = _mini_cfg(tmp_path, "eight", 8)
+    R.run_simulation(cfg1, progress=lambda m: None)
+    R.run_simulation(cfg8, progress=lambda m: None)
+    t1 = pq.read_table(cfg1.checkpoint_path(3))
+    t8 = pq.read_table(cfg8.checkpoint_path(3))
+    assert t1.equals(t8)
+    m1 = pq.read_table(cfg1.metrics_path(3))
+    m8 = pq.read_table(cfg8.metrics_path(3))
+    assert m1.equals(m8)
+    # the sharded path really ran: mesh run used sharded chunks (8 of 9
+    # shuffles per block), single-device used 2-shuffle chunks
+    assert np.asarray(t8["attempted_exposures"]).sum() == 18 * 8 * 3
