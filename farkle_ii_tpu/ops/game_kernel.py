@@ -6,14 +6,22 @@ Instead of nested per-turn/per-roll ``while`` statements per game object, the
 whole batch advances through a single flattened *roll-step* loop:
 
 * state is a struct-of-arrays over a static batch of ``B`` games with ``K``
-  seats each (all int32 / bool, fixed shapes);
+  seats each; **per-seat quantities are K-tuples of flat ``(B,)`` arrays**
+  (not ``(B, K)`` matrices: flat vectors measured ~1.7-2x higher effective
+  HBM bandwidth in the loop carry, and the loop carry is the traffic floor
+  of the whole simulation);
 * every iteration performs exactly one roll for the current seat of every
   still-active game: draw dice (two threefry hashes), score with branchless
   vector math, run the vectorized smart-discard scan, apply the
   continue/bank algebra, and handle turn/round/final-round transitions with
-  masks;
+  masks. Per-seat reads/updates are unrolled K-way selects over the flat
+  arrays — no dynamic gathers anywhere (TPU dynamic gathers measured ~100x
+  slower than the equivalent VPU arithmetic);
 * games that finish keep riding the loop as masked no-ops until the whole
-  batch is done (``lax.while_loop`` over ``any(~done)``).
+  batch is done. The loop condition (an any-active reduction) is only
+  checked every ``_COND_CHECK_EVERY`` roll-steps — an inner ``fori_loop``
+  advances the batch between checks, so the per-iteration reduce+sync cost
+  amortizes away (finished games are no-ops, so overshooting is harmless).
 
 Rule semantics match the reference exactly (validated by lockstep tests
 against the host oracle engine):
@@ -42,7 +50,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from farkle_ii_tpu.ops.scoring import faces_to_counts_vec, score_counts_vec
 from farkle_ii_tpu.ops.threefry import roll_dice
@@ -68,22 +75,29 @@ FLAG_FAVOR_SCORE = 1 << 7
 _CAND_D5 = jnp.arange(9, dtype=jnp.int32) // 3
 _CAND_D1 = jnp.arange(9, dtype=jnp.int32) % 3
 
+# roll-steps between active-count checks of the outer while condition
+_COND_CHECK_EVERY = 8
+
 
 class GameState(NamedTuple):
-    """Struct-of-arrays state for a batch of B games with K seats."""
+    """Struct-of-arrays state for a batch of B games with K seats.
 
-    # per-seat (B, K) int32 unless noted
-    scores: jax.Array
-    has_scored: jax.Array  # bool
-    n_turns: jax.Array
-    n_farkles: jax.Array
-    n_rolls: jax.Array
-    highest_turn: jax.Array
-    smart_five_uses: jax.Array
-    n_smart_five_dice: jax.Array
-    smart_one_uses: jax.Array
-    n_smart_one_dice: jax.Array
-    n_hot_dice: jax.Array
+    Per-seat fields are K-tuples of ``(B,)`` int32 (bool for has_scored);
+    per-game fields are flat ``(B,)`` arrays.
+    """
+
+    # per-seat: K-tuples of (B,)
+    scores: tuple
+    has_scored: tuple  # bool
+    n_turns: tuple
+    n_farkles: tuple
+    n_rolls: tuple
+    highest_turn: tuple
+    smart_five_uses: tuple
+    n_smart_five_dice: tuple
+    smart_one_uses: tuple
+    n_smart_one_dice: tuple
+    n_hot_dice: tuple
     # per-game (B,) int32 unless noted
     turn_score: jax.Array
     dice_left: jax.Array
@@ -126,33 +140,37 @@ class GameResult(NamedTuple):
 def init_state(batch: int, k: int) -> GameState:
     """Fresh game state: seat 0 about to take its first turn of round 1."""
     bi = (batch,)
-    bk = (batch, k)
-    zeros_bk = jnp.zeros(bk, dtype=jnp.int32)
-    n_turns = zeros_bk.at[:, 0].set(1)
+    zeros = jnp.zeros(bi, dtype=jnp.int32)
+    ones = jnp.ones(bi, dtype=jnp.int32)
+    false = jnp.zeros(bi, dtype=bool)
+
+    def zt():
+        return tuple(zeros for _ in range(k))
+
     return GameState(
-        scores=zeros_bk,
-        has_scored=jnp.zeros(bk, dtype=bool),
-        n_turns=n_turns,
-        n_farkles=zeros_bk,
-        n_rolls=zeros_bk,
-        highest_turn=zeros_bk,
-        smart_five_uses=zeros_bk,
-        n_smart_five_dice=zeros_bk,
-        smart_one_uses=zeros_bk,
-        n_smart_one_dice=zeros_bk,
-        n_hot_dice=zeros_bk,
-        turn_score=jnp.zeros(bi, dtype=jnp.int32),
+        scores=zt(),
+        has_scored=tuple(false for _ in range(k)),
+        n_turns=(ones, *[zeros for _ in range(k - 1)]),
+        n_farkles=zt(),
+        n_rolls=zt(),
+        highest_turn=zt(),
+        smart_five_uses=zt(),
+        n_smart_five_dice=zt(),
+        smart_one_uses=zt(),
+        n_smart_one_dice=zt(),
+        n_hot_dice=zt(),
+        turn_score=zeros,
         dice_left=jnp.full(bi, 6, dtype=jnp.int32),
-        seat=jnp.zeros(bi, dtype=jnp.int32),
-        round_num=jnp.ones(bi, dtype=jnp.int32),
-        rolls_this_turn=jnp.zeros(bi, dtype=jnp.int32),
-        final_round=jnp.zeros(bi, dtype=bool),
+        seat=zeros,
+        round_num=ones,
+        rolls_this_turn=zeros,
+        final_round=false,
         score_to_beat=jnp.full(bi, DEFAULT_TARGET_SCORE, dtype=jnp.int32),
         trigger_seat=jnp.full(bi, -1, dtype=jnp.int32),
-        done=jnp.zeros(bi, dtype=bool),
-        safety=jnp.zeros(bi, dtype=bool),
-        n_rounds=jnp.zeros(bi, dtype=jnp.int32),
-        roll_limit_hits=jnp.zeros(bi, dtype=jnp.int32),
+        done=false,
+        safety=false,
+        n_rounds=zeros,
+        roll_limit_hits=zeros,
         step=jnp.zeros((), dtype=jnp.int32),
     )
 
@@ -171,7 +189,7 @@ def _thresholds_continue(turn_score, dice_left, score_threshold, dice_threshold,
 
 
 def _must_bank(score_after, dice_left_after, score_threshold, dice_threshold, flags):
-    """Vectorized bank predicate over the (B, 49) candidate grid."""
+    """Vectorized bank predicate over the (B, 9) candidate grid."""
     consider_score = ((flags & FLAG_CONSIDER_SCORE) != 0)[:, None]
     consider_dice = ((flags & FLAG_CONSIDER_DICE) != 0)[:, None]
     require_both = ((flags & FLAG_REQUIRE_BOTH) != 0)[:, None]
@@ -185,7 +203,7 @@ def _smart_discards(
     *, raw_score, raw_used, sfives, sones, roll_n, turn_score,
     score_threshold, dice_threshold, flags,
 ):
-    """Vectorized Smart-5/Smart-1 discard decision over 49 (d5, d1) candidates.
+    """Vectorized Smart-5/Smart-1 discard decision over 9 (d5, d1) candidates.
 
     Candidate score/used follow from the identity that lone fives/ones are
     worth exactly 50/100 and one die each (scoring.py:196-366 semantics
@@ -223,12 +241,6 @@ def _smart_discards(
     return d5, d1
 
 
-def _bump_seat(arr, seat_onehot, inc, active):
-    """arr[b, seat[b]] += inc[b] where active[b] (masked scatter via one-hot)."""
-    delta = jnp.where(active, inc, 0)
-    return arr + seat_onehot * delta[:, None]
-
-
 def make_game_step(
     *,
     k: int,
@@ -237,41 +249,53 @@ def make_game_step(
 ):
     """Build the single roll-step body for K-seat games.
 
-    Performance notes: the body deliberately contains *no* dynamic gathers —
-    per-seat reads are one-hot dot products over the tiny K axis and scoring
-    is branchless vector math (ops/scoring.py) — because TPU dynamic gathers
-    were measured ~100x slower than the equivalent VPU arithmetic.
+    Performance notes: per-seat state is K-tuples of flat ``(B,)`` arrays;
+    seat reads are unrolled select chains and seat updates unrolled masked
+    adds — no dynamic gathers, no ``(B, K)`` carry traffic.
     """
-    seats = jnp.arange(k, dtype=jnp.int32)
 
     def step(
         state: GameState,
-        game_key_data: jax.Array,  # (B, 2) uint32 raw threefry key data
-        score_thresholds: jax.Array,  # (B, K) int32
-        dice_thresholds: jax.Array,  # (B, K) int32
-        flags_bk: jax.Array,  # (B, K) int32
+        k0: jax.Array,  # (B,) uint32 game threefry key word 0
+        k1: jax.Array,  # (B,) uint32 game threefry key word 1
+        st_t: tuple,  # K x (B,) int32 per-seat score thresholds
+        dt_t: tuple,  # K x (B,) int32 per-seat dice thresholds
+        fl_t: tuple,  # K x (B,) int32 per-seat flag words
     ) -> GameState:
         active = ~state.done
         seat = state.seat
-        seat_onehot = (seats[None, :] == seat[:, None]).astype(jnp.int32)  # (B, K)
+        seat_is = tuple(seat == i for i in range(k))  # K x (B,) bool
 
-        def gather_seat(arr):
-            return (arr * seat_onehot).sum(axis=1)
+        def gather(tup):
+            out = tup[0]
+            for i in range(1, k):
+                out = jnp.where(seat_is[i], tup[i], out)
+            return out
 
-        st = gather_seat(score_thresholds)
-        dt = gather_seat(dice_thresholds)
-        flags = gather_seat(flags_bk)
+        def bump(tup, inc, mask):
+            """tup[seat] += inc where mask (unrolled masked adds)."""
+            return tuple(
+                jnp.where(mask & seat_is[i], tup[i] + inc, tup[i])
+                for i in range(k)
+            )
+
+        def set_at_seat(tup, value, mask):
+            return tuple(
+                jnp.where(mask & seat_is[i], value, tup[i]) for i in range(k)
+            )
+
+        st = gather(st_t)
+        dt = gather(dt_t)
+        flags = gather(fl_t)
 
         # ---- roll --------------------------------------------------------
         roll_n = state.dice_left
-        roll_index = gather_seat(state.n_rolls)
-        dice = roll_dice(
-            game_key_data[:, 0], game_key_data[:, 1], roll_index, seat
-        )  # (B, 6)
+        roll_index = gather(state.n_rolls)
+        dice = roll_dice(k0, k1, roll_index, seat)  # (B, 6)
         lane = jnp.arange(6, dtype=jnp.int32)[None, :]
         faces = jnp.where(lane < roll_n[:, None], dice, 0)  # (B, 6)
 
-        n_rolls = _bump_seat(state.n_rolls, seat_onehot, jnp.ones_like(roll_index), active)
+        n_rolls = bump(state.n_rolls, 1, active)
         rolls_this_turn = jnp.where(active, state.rolls_this_turn + 1, state.rolls_this_turn)
 
         # ---- score (branchless, no table) ---------------------------------
@@ -289,15 +313,11 @@ def make_game_step(
         reroll = roll_n - final_used
 
         bust = raw_score == 0
-        n_farkles = _bump_seat(state.n_farkles, seat_onehot, bust.astype(jnp.int32), active)
-        smart_five_uses = _bump_seat(
-            state.smart_five_uses, seat_onehot, (d5 > 0).astype(jnp.int32), active
-        )
-        n_smart_five_dice = _bump_seat(state.n_smart_five_dice, seat_onehot, d5, active)
-        smart_one_uses = _bump_seat(
-            state.smart_one_uses, seat_onehot, (d1 > 0).astype(jnp.int32), active
-        )
-        n_smart_one_dice = _bump_seat(state.n_smart_one_dice, seat_onehot, d1, active)
+        n_farkles = bump(state.n_farkles, 1, active & bust)
+        smart_five_uses = bump(state.smart_five_uses, 1, active & (d5 > 0))
+        n_smart_five_dice = bump(state.n_smart_five_dice, d5, active & (d5 > 0))
+        smart_one_uses = bump(state.smart_one_uses, 1, active & (d1 > 0))
+        n_smart_one_dice = bump(state.n_smart_one_dice, d1, active & (d1 > 0))
 
         # hot dice: all rolled dice scored -> fresh 6 dice
         hot = ~bust & (final_used == roll_n)
@@ -306,13 +326,11 @@ def make_game_step(
 
         auto_hot = (flags & FLAG_AUTO_HOT_DICE) != 0
         auto_hot_continue = ~bust & hot & auto_hot
-        n_hot_dice = _bump_seat(
-            state.n_hot_dice, seat_onehot, auto_hot_continue.astype(jnp.int32), active
-        )
+        n_hot_dice = bump(state.n_hot_dice, 1, active & auto_hot_continue)
 
         # ---- continue / bank decision --------------------------------------
-        has_scored_seat = gather_seat(state.has_scored.astype(jnp.int32)) != 0
-        banked = gather_seat(state.scores)
+        has_scored_seat = gather(state.has_scored)
+        banked = gather(state.scores)
         running_total = banked + turn_score_new
         run_up = (flags & FLAG_RUN_UP_SCORE) != 0
         beat = state.score_to_beat
@@ -335,16 +353,17 @@ def make_game_step(
         entered = ~has_scored_seat & (turn_score_new >= 500)
         has_scored_now = has_scored_seat | entered
         bank_amount = jnp.where(end & has_scored_now, turn_score_new, 0)
-        scores = state.scores + seat_onehot * bank_amount[:, None]
-        has_scored = state.has_scored | (seat_onehot.astype(bool) & (end & has_scored_now)[:, None])
+        bank_mask = end & has_scored_now
+        scores = bump(state.scores, bank_amount, bank_mask)
+        has_scored = tuple(
+            state.has_scored[i] | (bank_mask & seat_is[i]) for i in range(k)
+        )
         new_banked = banked + bank_amount
         highest = jnp.maximum(
-            gather_seat(state.highest_turn),
+            gather(state.highest_turn),
             jnp.where(end & has_scored_now, turn_score_new, 0),
         )
-        highest_turn = jnp.where(
-            (seat_onehot.astype(bool)) & end[:, None], highest[:, None], state.highest_turn
-        )
+        highest_turn = set_at_seat(state.highest_turn, highest, end)
 
         # trigger: first player to reach the target starts the final round
         triggered = end & ~state.final_round & (new_banked >= target_score)
@@ -377,8 +396,10 @@ def make_game_step(
         # ---- next turn init / intra-turn continue ---------------------------
         continue_turn = active & ~turn_end
         start_next = end & ~game_done
-        next_onehot = (seats[None, :] == next_seat[:, None]).astype(jnp.int32)
-        n_turns = state.n_turns + next_onehot * start_next.astype(jnp.int32)[:, None]
+        n_turns = tuple(
+            jnp.where(start_next & (next_seat == i), state.n_turns[i] + 1, state.n_turns[i])
+            for i in range(k)
+        )
 
         seat_out = jnp.where(start_next, next_seat, seat)
         dice_out = jnp.where(continue_turn, next_dice, 6)
@@ -424,19 +445,37 @@ _COMPACT_RATIOS = (8, 64, 512)
 
 
 def _gather_state(state: GameState, idx: jax.Array) -> GameState:
-    return GameState(*[
-        leaf if leaf.ndim == 0 else leaf[idx] for leaf in state
-    ])
+    return jax.tree.map(lambda leaf: leaf if leaf.ndim == 0 else leaf[idx], state)
 
 
 def _scatter_state(full: GameState, compact: GameState, idx: jax.Array) -> GameState:
-    out = []
-    for full_leaf, compact_leaf in zip(full, compact):
+    def put(full_leaf, compact_leaf):
         if full_leaf.ndim == 0:
-            out.append(compact_leaf)  # step counter: keep the latest
-        else:
-            out.append(full_leaf.at[idx].set(compact_leaf))
-    return GameState(*out)
+            return compact_leaf  # step counter: keep the latest
+        return full_leaf.at[idx].set(compact_leaf)
+
+    return jax.tree.map(put, full, compact)
+
+
+def _partition_indices(done: jax.Array) -> jax.Array:
+    """Deterministic stable partition permutation: unfinished lanes first.
+
+    Cheaper than a full ``argsort`` (two cumsums + one scatter, all O(B)) and
+    avoids the argsort path that triggered libtpu faults at irregular batch
+    shapes (tests/FAILURE_NOTES.md).
+    """
+    b = done.shape[0]
+    undone_i = (~done).astype(jnp.int32)
+    done_i = done.astype(jnp.int32)
+    n_undone = undone_i.sum()
+    pos_undone = jnp.cumsum(undone_i) - 1
+    pos_done = n_undone + jnp.cumsum(done_i) - 1
+    target = jnp.where(done, pos_done, pos_undone)
+    return (
+        jnp.zeros((b,), jnp.int32)
+        .at[target]
+        .set(jnp.arange(b, dtype=jnp.int32))
+    )
 
 
 def play_games(
@@ -448,6 +487,7 @@ def play_games(
     target_score: int = DEFAULT_TARGET_SCORE,
     max_rounds: int = DEFAULT_MAX_ROUNDS,
     compact: bool = True,
+    pad_multiple: int | None = None,
 ) -> GameResult:
     """Play a full batch of K-seat games to completion. Jit-compatible.
 
@@ -464,33 +504,48 @@ def play_games(
     wasted masked-lane work disappears.
     """
     batch, k = score_thresholds.shape
+    pad_multiple = _COMPACT_MIN_BATCH if pad_multiple is None else int(pad_multiple)
     step = make_game_step(k=k, target_score=target_score, max_rounds=max_rounds)
     # Absolute backstop: every turn ends within ROLL_LIMIT rolls and there are
     # at most (max_rounds * k + k) turns per game.
     max_steps = (max_rounds + 1) * k * (ROLL_LIMIT + 2)
 
-    def run_phase(state, kd, st, dt, fl, active_floor):
+    def split_ops(kd, st2, dt2, fl2):
+        return (
+            kd[:, 0],
+            kd[:, 1],
+            tuple(st2[:, i] for i in range(k)),
+            tuple(dt2[:, i] for i in range(k)),
+            tuple(fl2[:, i] for i in range(k)),
+        )
+
+    def run_phase(state, ops, active_floor):
         floor = max(active_floor or 0, 0)
 
         def cond(s: GameState):
             return ((~s.done).sum() > floor) & (s.step < max_steps)
 
         def body(s: GameState):
-            return step(s, kd, st, dt, fl)
+            return jax.lax.fori_loop(
+                0, _COND_CHECK_EVERY, lambda i, s2: step(s2, *ops), s
+            )
 
         return jax.lax.while_loop(cond, body, state)
 
-    if not compact or batch < _COMPACT_MIN_BATCH:
-        final = run_phase(init_state(batch, k), game_key_data, score_thresholds,
-                          dice_thresholds, flags, None)
+    if not compact or batch < pad_multiple:
+        final = run_phase(
+            init_state(batch, k),
+            split_ops(game_key_data, score_thresholds, dice_thresholds, flags),
+            None,
+        )
         return finalize(final, k=k)
 
     # Pad the compacted path to a _COMPACT_MIN_BATCH multiple: irregular
     # batch sizes triggered hard TPU-runtime faults in the compaction
-    # argsort/gather sequence on some shapes (observed at B = 110,940);
+    # partition/gather sequence on some shapes (observed at B = 110,940);
     # padding games start done, never roll, and are sliced off before
     # finalize.
-    padded = -(-batch // _COMPACT_MIN_BATCH) * _COMPACT_MIN_BATCH
+    padded = -(-batch // pad_multiple) * pad_multiple
     pad = padded - batch
 
     def pad_rows(arr):
@@ -509,30 +564,29 @@ def play_games(
     chain: list[tuple[GameState, jax.Array]] = []
     for ratio in _COMPACT_RATIOS:
         cap = padded // ratio
-        state = run_phase(state, kd, st, dt, fl, cap)
+        state = run_phase(state, split_ops(kd, st, dt, fl), cap)
         # gather the (at most cap) unfinished games into a dense batch
-        order = jnp.argsort(state.done)  # unfinished first
-        take = order[:cap]
+        take = _partition_indices(state.done)[:cap]
         chain.append((state, take))
         state = _gather_state(state, take)
         kd = kd[take]
         st = st[take]
         dt = dt[take]
         fl = fl[take]
-    state = run_phase(state, kd, st, dt, fl, None)
+    state = run_phase(state, split_ops(kd, st, dt, fl), None)
     # scatter the finished stragglers back up the chain
     for parent_state, take in reversed(chain):
         state = _scatter_state(parent_state, state, take)
     if pad:
-        state = GameState(
-            *[leaf if leaf.ndim == 0 else leaf[:batch] for leaf in state]
+        state = jax.tree.map(
+            lambda leaf: leaf if leaf.ndim == 0 else leaf[:batch], state
         )
     return finalize(state, k=k)
 
 
 def finalize(state: GameState, *, k: int) -> GameResult:
     """Rank seats and extract winner fields from a finished batch."""
-    scores = state.scores
+    scores = jnp.stack(state.scores, axis=1)  # (B, K)
     seats = jnp.arange(k, dtype=jnp.int32)
     # rank 1 = highest score, ties broken by earlier seat (stable sort parity
     # with engine.py:477's `sorted(..., key=score, reverse=True)`).
@@ -559,6 +613,9 @@ def finalize(state: GameState, *, k: int) -> GameResult:
     else:
         margin = jnp.where(completed, winning_score, 0)
 
+    def stk(tup):
+        return jnp.stack(tup, axis=1)
+
     return GameResult(
         scores=scores,
         ranks=ranks,
@@ -567,15 +624,15 @@ def finalize(state: GameState, *, k: int) -> GameResult:
         winning_score=winning_score,
         margin=margin,
         n_rounds=state.n_rounds,
-        n_farkles=state.n_farkles,
-        n_rolls=state.n_rolls,
-        n_turns=state.n_turns,
-        highest_turn=state.highest_turn,
-        smart_five_uses=state.smart_five_uses,
-        n_smart_five_dice=state.n_smart_five_dice,
-        smart_one_uses=state.smart_one_uses,
-        n_smart_one_dice=state.n_smart_one_dice,
-        n_hot_dice=state.n_hot_dice,
+        n_farkles=stk(state.n_farkles),
+        n_rolls=stk(state.n_rolls),
+        n_turns=stk(state.n_turns),
+        highest_turn=stk(state.highest_turn),
+        smart_five_uses=stk(state.smart_five_uses),
+        n_smart_five_dice=stk(state.n_smart_five_dice),
+        smart_one_uses=stk(state.smart_one_uses),
+        n_smart_one_dice=stk(state.n_smart_one_dice),
+        n_hot_dice=stk(state.n_hot_dice),
         roll_limit_hits=state.roll_limit_hits,
     )
 

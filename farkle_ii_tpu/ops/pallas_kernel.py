@@ -494,13 +494,12 @@ def play_games_pallas(
         return final[slots[name]].reshape(-1)[:batch]
 
     def seat(name):
-        return jnp.stack(
-            [final[slots[f"{name}_{j}"]].reshape(-1)[:batch] for j in range(k)], axis=1
-        )
+        # GameState per-seat fields are K-tuples of flat (B,) arrays
+        return tuple(final[slots[f"{name}_{j}"]].reshape(-1)[:batch] for j in range(k))
 
     state_out = GameState(
         scores=seat("scores"),
-        has_scored=seat("has_scored").astype(bool),
+        has_scored=tuple(x.astype(bool) for x in seat("has_scored")),
         n_turns=seat("n_turns"),
         n_farkles=seat("n_farkles"),
         n_rolls=seat("n_rolls"),

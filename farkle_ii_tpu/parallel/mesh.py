@@ -31,6 +31,7 @@ from farkle_ii_tpu.simulation.tournament import (
     TournamentSpec,
     pack_aggregates,
     play_and_aggregate,
+    play_and_aggregate_block,
 )
 
 SHUFFLE_AXIS = "shuffles"
@@ -93,7 +94,51 @@ def sharded_play_and_aggregate(spec: TournamentSpec, mesh: Mesh):
     return jax.jit(step)
 
 
-def sharded_packed_step(spec: TournamentSpec, mesh: Mesh, *, compact: bool = True):
+def sharded_block_step(
+    spec: TournamentSpec, mesh: Mesh, *, compact: bool = True,
+    pad_multiple: int | None = None,
+):
+    """Multi-chip block execution: device-local chunk scan + one psum.
+
+    Input shuffle coordinates have shape ``(n_chunks, span)`` with ``span``
+    divisible by the mesh size; each device scans its ``(n_chunks, ns_local)``
+    share through the fused chunk program, accumulating a packed int64
+    aggregate locally, and the block total rides ICI once per block.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, SHUFFLE_AXIS)),
+        out_specs=P(),
+        check_vma=False,  # see sharded_play_and_aggregate
+    )
+    def run(st, dt, fl, shuffles_local):
+        lo, hi = play_and_aggregate_block(
+            spec, (st, dt, fl), shuffles_local, compact=compact,
+            pad_multiple=pad_multiple,
+        )
+        # limbs stay exact under psum: per-device partials are < 2**31 / n_dev
+        # for any realistic block, and addition commutes with recombination
+        return jax.lax.psum(lo, SHUFFLE_AXIS), jax.lax.psum(hi, SHUFFLE_AXIS)
+
+    def step(params, shuffle_indices_2d):
+        st, dt, fl = params
+        n_dev = mesh.devices.size
+        if shuffle_indices_2d.shape[1] % n_dev != 0:
+            raise ValueError(
+                f"chunk span of {shuffle_indices_2d.shape[1]} not divisible "
+                f"by {n_dev} devices"
+            )
+        return run(st, dt, fl, shuffle_indices_2d)
+
+    return jax.jit(step)
+
+
+def sharded_packed_step(
+    spec: TournamentSpec, mesh: Mesh, *, compact: bool = True,
+    pad_multiple: int | None = None,
+):
     """Production multi-chip tournament step: packed aggregates over ICI.
 
     The runner's execution unit: each device plays ``NS / n_devices`` whole
@@ -115,7 +160,10 @@ def sharded_packed_step(spec: TournamentSpec, mesh: Mesh, *, compact: bool = Tru
         check_vma=False,  # see sharded_play_and_aggregate
     )
     def run(st, dt, fl, shuffles_local):
-        agg = play_and_aggregate(spec, (st, dt, fl), shuffles_local, compact=compact)
+        agg = play_and_aggregate(
+            spec, (st, dt, fl), shuffles_local, compact=compact,
+            pad_multiple=pad_multiple,
+        )
         return jax.lax.psum(pack_aggregates(agg), SHUFFLE_AXIS)
 
     def step(params, shuffle_indices):

@@ -218,7 +218,7 @@ class CellRunResult:
 
 def _compile_step(
     spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool, *,
-    with_rows: bool = False, compact: bool = True,
+    with_rows: bool = False, compact: bool = True, pad_multiple: int | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -229,7 +229,7 @@ def _compile_step(
 
         def fn(params, sh):
             agg, result, seat_ids = T.play_and_aggregate_with_rows(
-                spec, params, sh, compact=compact
+                spec, params, sh, compact=compact, pad_multiple=pad_multiple
             )
             return T.pack_aggregates(agg), result, seat_ids
 
@@ -237,7 +237,9 @@ def _compile_step(
 
         def fn(params, sh):
             return T.pack_aggregates(
-                T.play_and_aggregate(spec, params, sh, compact=compact)
+                T.play_and_aggregate(
+                    spec, params, sh, compact=compact, pad_multiple=pad_multiple
+                )
             )
 
     if use_aot_cache:
@@ -249,6 +251,7 @@ def _compile_step(
             jnp.arange(ns, dtype=jnp.uint32),
             extra_key=f"tournament-k{spec.k}-s{spec.n_strategies}-ns{ns}"
             f"-t{spec.target_score}-r{spec.max_rounds}-rows{int(with_rows)}"
+            f"-p{pad_multiple}"
             + ("" if compact else "-nocompact"),
         )
         return compiled
@@ -322,9 +325,10 @@ def run_cell(
             " (row export forces single-device)" if with_rows else "",
         )
 
+    pad_multiple = int(cfg.tpu.compact_pad_multiple)
     step = _compile_step(
         spec, params, ns_device, cfg.tpu.aot_cache,
-        with_rows=with_rows, compact=compact,
+        with_rows=with_rows, compact=compact, pad_multiple=pad_multiple,
     )
 
     total = T.TournamentAccumulator(len(strategies))
@@ -352,34 +356,80 @@ def run_cell(
 
     # compiled steps are memoized per (chunk size, compaction): re-tracing or
     # re-deserializing a cached executable per block costs seconds
-    step_cache: dict[tuple[int, bool, bool], Any] = {(ns_device, compact, False): step}
+    step_cache: dict[tuple, Any] = {("chunk", ns_device, compact, False): step}
 
     def step_for(size: int, compact_: bool, *, sharded: bool = False):
-        key = (size, compact_, sharded)
+        key = ("chunk", size, compact_, sharded)
         if key not in step_cache:
             if sharded:
                 from farkle_ii_tpu.parallel.mesh import sharded_packed_step
 
-                step_cache[key] = sharded_packed_step(spec, mesh, compact=compact_)
+                step_cache[key] = sharded_packed_step(
+                    spec, mesh, compact=compact_, pad_multiple=pad_multiple
+                )
             else:
                 step_cache[key] = _compile_step(
                     spec, params, size, cfg.tpu.aot_cache,
-                    with_rows=with_rows, compact=compact_,
+                    with_rows=with_rows, compact=compact_, pad_multiple=pad_multiple,
+                )
+        return step_cache[key]
+
+    def block_step_for(n_chunks: int, span: int, compact_: bool, *, sharded: bool):
+        key = ("block", n_chunks, span, compact_, sharded)
+        if key not in step_cache:
+            if sharded:
+                from farkle_ii_tpu.parallel.mesh import sharded_block_step
+
+                step_cache[key] = sharded_block_step(
+                    spec, mesh, compact=compact_, pad_multiple=pad_multiple
+                )
+            elif cfg.tpu.aot_cache:
+                from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+                step_cache[key] = cached_compile(
+                    lambda p, sh: T.play_and_aggregate_block(
+                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple
+                    ),
+                    params,
+                    jnp.zeros((n_chunks, span), dtype=jnp.uint32),
+                    extra_key=f"block-k{spec.k}-s{spec.n_strategies}-c{n_chunks}x{span}"
+                    f"-t{spec.target_score}-r{spec.max_rounds}-p{pad_multiple}"
+                    + ("" if compact_ else "-nocompact"),
+                )
+            else:
+                step_cache[key] = jax.jit(
+                    lambda p, sh: T.play_and_aggregate_block(
+                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple
+                    )
                 )
         return step_cache[key]
 
     def dispatch_block(batch_id: int, *, compact_: bool) -> list[tuple[int, int, Any]]:
-        """Dispatch every chunk of one block without waiting for results."""
+        """Dispatch one deterministic block without waiting for results.
+
+        Aggregate-only execution scans all full chunks of the block on
+        device in a single dispatch (remote dispatch round trips dominated
+        production throughput at fault-safe chunk sizes); the sub-chunk
+        remainder and the row-export path dispatch per chunk.
+        """
         lo = batch_id * plan.shuffles_per_batch
         hi = lo + plan.shuffles_per_batch
         pending: list[tuple[int, int, Any]] = []
         pos = lo
+        span = ns_device * n_mesh
+        if not with_rows:
+            n_full = (hi - lo) // span
+            if n_full >= 1:
+                idx = np.arange(lo, lo + n_full * span, dtype=np.uint32)
+                out = block_step_for(n_full, span, compact_, sharded=n_mesh > 1)(
+                    params, jnp.asarray(idx.reshape(n_full, span))
+                )
+                pending.append((lo, lo + n_full * span, out))
+                pos = lo + n_full * span
         if n_mesh > 1:
-            # sharded chunks: up to ns_device shuffles per device, always an
-            # exact multiple of the mesh size; the sub-mesh remainder of the
-            # block falls through to single-device chunks below
-            span = ns_device * n_mesh
-            sharded_hi = lo + ((hi - lo) // n_mesh) * n_mesh
+            # remainder sharded chunks: always an exact multiple of the mesh
+            # size; the sub-mesh tail falls through to single-device chunks
+            sharded_hi = pos + ((hi - pos) // n_mesh) * n_mesh
             while pos < sharded_hi:
                 size = min(span, sharded_hi - pos)
                 size -= size % n_mesh
@@ -408,9 +458,12 @@ def run_cell(
                         shuffle_lo=chunk_lo, shuffle_hi=chunk_hi,
                         result=result, seat_ids=np.asarray(seat_ids),
                     )
+                    agg = T.unpack_aggregates(packed, len(strategies))
+                elif isinstance(out, tuple):  # block-scan limb pair
+                    agg = T.unpack_block_aggregates(out, len(strategies))
                 else:
-                    packed = out
-                acc.absorb(T.unpack_aggregates(packed, len(strategies)))
+                    agg = T.unpack_aggregates(out, len(strategies))
+                acc.absorb(agg)
         except (jax.errors.JaxRuntimeError, RuntimeError, ValueError):
             # device fault while fetching a chunk: re-dispatch the whole block
             # serially with straggler compaction disabled (some batch shapes
@@ -460,6 +513,8 @@ def run_cell(
             f"game conservation failure: attempted {total.games_attempted} != "
             f"planned {expected_games}"
         )
+    if with_rows:
+        _publish_immutable_rows_manifest(cfg, n)
     return CellRunResult(
         plan=plan,
         accumulator=total,
@@ -467,6 +522,44 @@ def run_cell(
         resumed_batches=resumed,
         elapsed_seconds=elapsed,
         games_per_second=games_done / elapsed if games_done else 0.0,
+    )
+
+
+def _publish_immutable_rows_manifest(cfg: AppConfig, n: int) -> None:
+    """Freeze the cell's append-only row-shard log into an immutable manifest.
+
+    The NDJSON manifest is the live redo log during execution (appends may
+    arrive in any resume order); once the cell conserves, its entries are
+    canonically ordered by (k, shuffle_lo) and published with a chained root
+    hash, so the finished shard log can never be silently appended to,
+    edited, or reordered (reference authenticated_contract.py:1200).
+    """
+    from farkle_ii_tpu.utils.authenticated_contract import (
+        StageIdentity,
+        canonical_json_sha,
+        publish_immutable_manifest_atomic,
+    )
+
+    live = cfg.rows_dir(n) / "rows_manifest.ndjson"
+    if not live.exists():
+        return
+    entries = {}
+    for rec in mf.read_manifest(live):
+        if rec.get("kind") == "row_shard" and int(rec.get("k", -1)) == int(n):
+            entries[(int(rec["k"]), int(rec["shuffle_lo"]))] = rec
+    if not entries:
+        return
+    ordered = [entries[key] for key in sorted(entries)]
+    identity = StageIdentity(
+        stage="simulation",
+        config_sha=compute_stage_config_sha(cfg, "simulation"),
+        freshness_sha=canonical_json_sha(cfg.freshness_key()),
+    )
+    publish_immutable_manifest_atomic(
+        cfg.rows_dir(n) / "rows_manifest.v3.ndjson",
+        ordered,
+        stage_identity=identity,
+        coordinate_fields=("k", "shuffle_lo"),
     )
 
 

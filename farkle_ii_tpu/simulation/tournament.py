@@ -117,6 +117,13 @@ def aggregate_field_shapes(n_strategies: int) -> list[tuple[int, ...]]:
     return [(s,), (s,), (s,), (s,), (), (), (), (s, m), (s, m), (s, m), (s, m)]
 
 
+def packed_length(n_strategies: int) -> int:
+    return sum(
+        int(np.prod(shape)) if shape else 1
+        for shape in aggregate_field_shapes(n_strategies)
+    )
+
+
 def unpack_aggregates(vec, n_strategies: int) -> TournamentAggregates:
     """Host-side inverse of :func:`pack_aggregates` (one fetch, then views)."""
     flat = np.asarray(vec)
@@ -160,6 +167,7 @@ def play_shuffles(
     shuffle_indices: jax.Array,
     *,
     compact: bool = True,
+    pad_multiple: int | None = None,
 ) -> tuple[gk.GameResult, jax.Array]:
     """Play every game of a batch of shuffles. Jit-compatible.
 
@@ -200,6 +208,7 @@ def play_shuffles(
         target_score=spec.target_score,
         max_rounds=spec.max_rounds,
         compact=compact,
+        pad_multiple=pad_multiple,
     )
     return result, flat_ids
 
@@ -356,10 +365,62 @@ def play_and_aggregate(
     shuffle_indices: jax.Array,
     *,
     compact: bool = True,
+    pad_multiple: int | None = None,
 ) -> TournamentAggregates:
     """Fused play + reduce for one shuffle batch (the jit unit)."""
-    result, seat_ids = play_shuffles(spec, params, shuffle_indices, compact=compact)
+    result, seat_ids = play_shuffles(
+        spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple
+    )
     return aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
+
+
+def play_and_aggregate_block(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices_2d: jax.Array,  # (n_chunks, ns) uint32
+    *,
+    compact: bool = True,
+    pad_multiple: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Scan a whole deterministic block of chunks on device: one dispatch.
+
+    The reference pays one process-pool round trip per chunk
+    (run_tournament.py:1337); on a remote-tunneled accelerator each dispatch
+    costs a ~30 ms round trip, which dominated production throughput at the
+    fault-safe 16-shuffle chunk size. Scanning the block's chunks *on device*
+    (same per-chunk program and batch shapes as individual dispatches) and
+    accumulating the packed aggregates in a carry makes a block cost one
+    dispatch + one fetch, with no change to chunk shapes or results.
+
+    Exactness across chunks: a single chunk's int32 packed aggregate is
+    exact by the ``MAX_SHUFFLES_PER_BATCH`` bound, but sums across a block's
+    many chunks can exceed int32 for metric sums — and TPU jax runs with
+    x64 disabled. The carry is therefore a (lo16, hi15) split-limb pair of
+    int32 vectors (every packed value is non-negative), exact for up to
+    2**15 chunks per block; the host recombines into int64
+    (:func:`unpack_block_aggregates`).
+    """
+
+    def body(carry, sh):
+        lo, hi = carry
+        packed = pack_aggregates(
+            play_and_aggregate(spec, params, sh, compact=compact, pad_multiple=pad_multiple)
+        )
+        return (lo + (packed & 0xFFFF), hi + (packed >> 16)), None
+
+    n = packed_length(spec.n_strategies)
+    init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+    (lo, hi), _ = jax.lax.scan(body, init, shuffle_indices_2d)
+    return lo, hi
+
+
+def unpack_block_aggregates(
+    lo_hi: tuple[jax.Array, jax.Array], n_strategies: int
+) -> TournamentAggregates:
+    """Host-side inverse of :func:`play_and_aggregate_block`'s limb carry."""
+    lo, hi = lo_hi
+    total = np.asarray(lo, dtype=np.int64) + (np.asarray(hi, dtype=np.int64) << 16)
+    return unpack_aggregates(total, n_strategies)
 
 
 def play_and_aggregate_with_rows(
@@ -368,9 +429,12 @@ def play_and_aggregate_with_rows(
     shuffle_indices: jax.Array,
     *,
     compact: bool = True,
+    pad_multiple: int | None = None,
 ):
     """Play + reduce, also returning per-game results for row export."""
-    result, seat_ids = play_shuffles(spec, params, shuffle_indices, compact=compact)
+    result, seat_ids = play_shuffles(
+        spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple
+    )
     return aggregate(result, seat_ids, spec.n_strategies), result, seat_ids
 
 

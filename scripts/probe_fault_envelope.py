@@ -1,0 +1,120 @@
+"""Probe the TPU-runtime fault envelope over (k, chunk, compaction) shapes.
+
+Round-1 production was pinned to 16-shuffle chunks by unexplained hard
+libtpu faults at some batch shapes (tests/FAILURE_NOTES.md: k=3 B=73,960
+crashes, B=27,520 works, bench's B=198,144 works). This harness maps the
+envelope *empirically*: every candidate shape runs the production chunk
+program in a fresh subprocess (a hard fault kills only the probe), the
+result is conservation-checked, and the survey is published as a JSON
+artifact that configs/runners consume instead of folklore constants.
+
+Usage:
+    python scripts/probe_fault_envelope.py --k 2,3,5 --ns 16,43,64 \
+        --out results/fault_envelope.json [--nocompact-too] [--timeout 900]
+
+Each probe prints one JSON line; the parent aggregates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_PROBE_SNIPPET = r"""
+import sys, json
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+import numpy as np
+from farkle_ii_tpu.simulation import strategies as S
+from farkle_ii_tpu.simulation import tournament as T
+
+k, ns, compact = {k}, {ns}, {compact}
+grid = S.build_strategy_grid()
+p = S.pack_strategy_params(grid)
+params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
+          jnp.asarray(p.flags))
+spec = T.TournamentSpec(root_seed=1234, k=k, n_strategies=len(grid))
+fn = jax.jit(lambda prm, sh: T.pack_aggregates(
+    T.play_and_aggregate(spec, prm, sh, compact=compact)))
+out = fn(params, jnp.arange(ns, dtype=jnp.uint32))
+acc = T.TournamentAccumulator(len(grid))
+acc.absorb(T.unpack_aggregates(np.asarray(out), len(grid)))
+acc.check_conservation()
+assert acc.games_attempted == ns * spec.games_per_shuffle
+print(json.dumps({{"ok": True, "games": acc.games_attempted}}))
+"""
+
+
+def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dict:
+    code = _PROBE_SNIPPET.format(repo=str(repo), k=k, ns=ns, compact=compact)
+    games_per_shuffle = None
+    start = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+        rc = proc.returncode
+        tail = (proc.stdout + proc.stderr)[-2000:]
+        ok = rc == 0 and '"ok": true' in proc.stdout.lower()
+    except subprocess.TimeoutExpired as exc:
+        rc, ok = -9, False
+        tail = f"timeout after {timeout}s: " + str(exc)[-500:]
+    return {
+        "k": k,
+        "ns": ns,
+        "compact": compact,
+        "ok": ok,
+        "rc": rc,
+        "seconds": round(time.perf_counter() - start, 1),
+        "tail": None if ok else tail,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--k", default="2,3,4,5,6,8,10,12")
+    ap.add_argument("--ns", default="16,43,64")
+    ap.add_argument("--nocompact-too", action="store_true")
+    ap.add_argument("--timeout", type=float, default=1200.0)
+    ap.add_argument("--out", default="results/fault_envelope.json")
+    args = ap.parse_args()
+
+    repo = Path(__file__).resolve().parent.parent
+    ks = [int(v) for v in args.k.split(",")]
+    nss = [int(v) for v in args.ns.split(",")]
+    compacts = [True, False] if args.nocompact_too else [True]
+
+    probes = []
+    for k in ks:
+        for ns in nss:
+            for compact in compacts:
+                result = probe_one(repo, k, ns, compact, args.timeout)
+                probes.append(result)
+                print(json.dumps(result), flush=True)
+
+    import jax
+
+    payload = {
+        "envelope_version": 1,
+        "platform": jax.devices()[0].platform,
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "n_strategies": 5160,
+        "probes": probes,
+        "ok_shapes": sorted(
+            [[p["k"], p["ns"], p["compact"]] for p in probes if p["ok"]]
+        ),
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(payload, indent=2))
+    print(f"envelope written to {out} ({sum(p['ok'] for p in probes)}/{len(probes)} ok)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
