@@ -30,6 +30,10 @@ def run_step(cfg: Any, step: str, *, force: bool = False) -> None:
         from farkle_ii_tpu.analysis import metrics
 
         metrics.run(cfg, force=force)
+        if cfg.analysis.outputs.get("compute_game_stats"):
+            from farkle_ii_tpu.analysis import game_stats
+
+            game_stats.run(cfg, force=force)
     elif step == "preprocess":
         for sub in ("ingest", "curate", "combine", "metrics"):
             run_step(cfg, sub, force=force)

@@ -51,7 +51,9 @@ from farkle_ii_tpu.utils.writer import write_json_atomic
 
 logger = logging.getLogger(__name__)
 
-# max games per H2H device dispatch (inside the probed fault-safe envelope)
+# default games-per-dispatch cap; production value comes from
+# cfg.tpu.h2h_games_per_dispatch (probe the envelope with
+# scripts/probe_fault_envelope.py before raising it)
 _H2H_GAMES_PER_DISPATCH = 16384
 
 H2H_METHOD_VERSION = 2
@@ -452,7 +454,7 @@ def _play_block_window(
     # XLA constant-folding time on CPU; a fixed power-of-two block-group size
     # also keeps one compiled shape across shrinking pending sets (each
     # recompile on the remote TPU backend costs minutes of lowering)
-    group = max(1, _H2H_GAMES_PER_DISPATCH // window)
+    group = max(1, int(cfg.tpu.h2h_games_per_dispatch) // window)
     group = 1 << (group.bit_length() - 1)  # round down to a power of two
     # group by root seed (part of the key prefix)
     for root in sorted(set(root_seeds.tolist())):

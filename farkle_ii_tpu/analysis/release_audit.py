@@ -24,11 +24,18 @@ RETIRED_ENTRY_POINTS: tuple[tuple[str, str], ...] = (
 
 
 def audit_runnable_configs(config_dir: Path | str = "configs") -> list[str]:
-    """Load every preset; return failures."""
+    """Load every preset and validate the production statistical contract.
+
+    ``blank_config.yaml`` is a scaffold, not a runnable production preset, so
+    it must load but is exempt from the locked contract (reference
+    release_audit.py:32 audits an explicit runnable set).
+    """
     failures = []
     for path in sorted(Path(config_dir).glob("*.yaml")):
         try:
-            load_app_config(path)
+            cfg = load_app_config(path)
+            if path.name != "blank_config.yaml":
+                cfg.validate_statistical_contract(require_two_roots=False)
         except Exception as exc:  # noqa: BLE001 - collected for the report
             failures.append(f"{path.name}: {type(exc).__name__}: {exc}")
     return failures

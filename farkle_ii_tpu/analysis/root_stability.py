@@ -264,3 +264,11 @@ def build_two_root_stability(
         config_sha=stage_sha, freshness_key=pair_cfg.freshness_key(),
     )
     return summary
+
+
+def run(cfg: AppConfig, *, force: bool = False) -> None:
+    """Stage wrapper: derive the two root configs from the pair config."""
+    from farkle_ii_tpu.analysis.run_trueskill import derive_pair_root_cfgs
+
+    cfg_a, cfg_b = derive_pair_root_cfgs(cfg)
+    build_two_root_stability(cfg, cfg_a, cfg_b, force=force)

@@ -119,7 +119,8 @@ def run_cell(cfg: AppConfig, k: int, *, force: bool = False) -> pd.DataFrame:
         draw_probability=cfg.trueskill.draw_probability,
     )
     rows = read_parquet_artifact(
-        cfg.curated_rows_path(k), expected_producer="curate"
+        cfg.curated_rows_path(k), expected_producer="curate",
+        columns=_ts_columns(k),
     ).to_pandas()
     strategies, ranks, batches = _game_arrays(rows, k)
     unique_batches = sorted(set(int(b) for b in batches))
@@ -162,7 +163,8 @@ def build_diagnostics(cfg: AppConfig, k: int, forward: pd.DataFrame) -> dict:
     """Order-sensitivity + tau-zero + held-out calibration diagnostics."""
     env = TrueSkillEnv(beta=cfg.trueskill.beta, tau=cfg.trueskill.tau)
     rows = read_parquet_artifact(
-        cfg.curated_rows_path(k), expected_producer="curate"
+        cfg.curated_rows_path(k), expected_producer="curate",
+        columns=_ts_columns(k),
     ).to_pandas()
     strategies, ranks, batches = _game_arrays(rows, k)
 
@@ -306,6 +308,112 @@ def run(cfg: AppConfig, *, force: bool = False) -> None:
     write_stage_done(
         stage_dir, "trueskill",
         inputs=[cfg.curated_rows_path(k) for k in ks],
+        outputs=outputs,
+        config_sha=stage_sha, freshness_key=cfg.freshness_key(),
+    )
+
+
+# ── pair-scope refit ─────────────────────────────────────────────────────────
+
+
+def _ts_columns(k: int) -> list[str]:
+    cols = ["shuffle_index", "game_index", "termination_status",
+            "deterministic_batch_id"]
+    for s in range(1, k + 1):
+        cols += [f"P{s}_strategy", f"P{s}_rank"]
+    return cols
+
+
+def derive_pair_root_cfgs(cfg: AppConfig) -> tuple[AppConfig, AppConfig]:
+    """Reconstruct the two per-root configs from a pair-scope config."""
+    from farkle_ii_tpu.orchestration import seed_utils
+
+    seeds = [int(s) for s in cfg.sim.seed_list]
+    if len(seeds) != 2:
+        raise ValueError("pair-scope stages need sim.seed_list with two seeds")
+    a, b = seeds
+    return (
+        seed_utils.prepare_seed_config(cfg, a, b, a),
+        seed_utils.prepare_seed_config(cfg, a, b, b),
+    )
+
+
+def run_root_pair(cfg: AppConfig, *, force: bool = False) -> None:
+    """Pair-scope TrueSkill **refit** over pair-combined curated rows.
+
+    Unlike a mean of per-root percentile contributions, the rating pass runs
+    over both roots' completed games in one sequential EP sweep (root A's
+    coordinate-ordered games, then root B's — deterministic pair order), so
+    the pair candidate freeze consumes ratings fitted on the union evidence
+    (reference pair plan: analysis/__init__.py:262-329 runs a pair trueskill
+    stage over pair-combined rows).
+    """
+    stage_sha = compute_stage_config_sha(cfg, "pair_trueskill")
+    ks = sorted(int(k) for k in cfg.sim.n_players_list)
+    stage_dir = cfg.trueskill_dir()
+    state = resolve_stage_state(
+        stage_dir, "pair_trueskill", config_sha=stage_sha,
+        freshness_key=cfg.freshness_key(),
+    )
+    if state == StageState.COMPLETE_VALID and not force:
+        logger.info("pair trueskill up to date")
+        return
+    cfg_a, cfg_b = derive_pair_root_cfgs(cfg)
+
+    frames: dict[int, pd.DataFrame] = {}
+    outputs = []
+    inputs = []
+    for k in ks:
+        env = TrueSkillEnv(
+            beta=cfg.trueskill.beta,
+            tau=cfg.trueskill.tau,
+            draw_probability=cfg.trueskill.draw_probability,
+        )
+        ratings: dict[int, Rating] = {}
+        for root_cfg in (cfg_a, cfg_b):
+            src = root_cfg.curated_rows_path(k)
+            inputs.append(src)
+            rows = read_parquet_artifact(
+                src, expected_producer="curate", columns=_ts_columns(k)
+            ).to_pandas()
+            strategies, ranks, _ = _game_arrays(rows, k)
+            ratings = rate_games(env, strategies, ranks, ratings=ratings)
+        frame = _ratings_frame(ratings, cfg.sim.seed, k)
+        frames[k] = frame
+        path = ratings_path(cfg, k)
+        write_parquet_artifact_atomic(
+            pa.Table.from_pandas(frame, preserve_index=False), path,
+            producer="trueskill", scope="cross_seed",
+            k_support=[k], seed_scope="seed_pair",
+            method=method_contract(
+                "trueskill_ep",
+                mu0=TM.DEFAULT_MU, sigma0=TM.DEFAULT_SIGMA,
+                beta=cfg.trueskill.beta, tau=cfg.trueskill.tau,
+            ),
+            metadata={
+                "k": k, "method_version": TRUESKILL_METHOD_VERSION,
+                "conditioning": TRUESKILL_CONDITIONING,
+                "operation": "pair_refit",
+                "roots": [cfg_a.sim.seed, cfg_b.sim.seed],
+            },
+        )
+        outputs.append(path)
+        logger.info("pair trueskill k=%d: %d strategies refit", k, len(frame))
+
+    contribution = build_percentile_contribution(cfg, frames)
+    write_parquet_artifact_atomic(
+        pa.Table.from_pandas(contribution, preserve_index=False),
+        contribution_path(cfg),
+        producer="trueskill", scope="cross_seed",
+        metadata={
+            "operation": "pair_refit_percentile_rank", "k_support": ks,
+            "roots": [cfg_a.sim.seed, cfg_b.sim.seed],
+        },
+    )
+    outputs.append(contribution_path(cfg))
+    write_stage_done(
+        stage_dir, "pair_trueskill",
+        inputs=sorted(set(inputs)),
         outputs=outputs,
         config_sha=stage_sha, freshness_key=cfg.freshness_key(),
     )

@@ -30,6 +30,39 @@ class StageExecutionError(RuntimeError):
     """One or more stages failed."""
 
 
+class StageValidationError(RuntimeError):
+    """A stage returned successfully but did not publish valid outputs.
+
+    Reference parity: required-output existence checks + post-action
+    completion-stamp re-resolution (stage_runner.py:151-179) — without this
+    a stage that silently publishes nothing would pass and downstream
+    stages would read stale or missing artifacts.
+    """
+
+
+def _validate_stage_completion(cfg: AppConfig, stage: StageDefinition) -> None:
+    from farkle_ii_tpu.config import compute_stage_config_sha
+    from farkle_ii_tpu.utils.stage_completion import StageState, resolve_stage_state
+
+    coords = stage.stamps(cfg)
+    if not coords:
+        return
+    sha = compute_stage_config_sha(cfg, stage.sha_scope or stage.key)
+    ok_states = {StageState.COMPLETE_VALID}
+    bad: list[str] = []
+    for stamp_dir, name in coords:
+        state = resolve_stage_state(
+            stamp_dir, name, config_sha=sha, freshness_key=cfg.freshness_key()
+        )
+        if state not in ok_states:
+            bad.append(f"{name} in {stamp_dir} resolved {state}")
+    if bad:
+        raise StageValidationError(
+            f"stage {stage.key!r} ran without error but its completion "
+            f"stamps did not re-resolve valid: {'; '.join(bad)}"
+        )
+
+
 @dataclass
 class StageRunResult:
     ran: list[str] = field(default_factory=list)
@@ -75,6 +108,7 @@ class StageRunner:
             start = time.perf_counter()
             try:
                 stage.run(self.cfg, force=force)
+                _validate_stage_completion(self.cfg, stage)
             except Exception as exc:  # noqa: BLE001 - summarized and re-raised
                 result.failures[stage.key] = f"{type(exc).__name__}: {exc}"
                 mf.append_manifest_event(

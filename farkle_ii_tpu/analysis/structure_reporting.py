@@ -203,6 +203,43 @@ def run(cfg: AppConfig, *, force: bool = False) -> None:
     outputs = [report_json_path(cfg), report_markdown_path(cfg)]
     if plotted:
         outputs.append(report_plot_path(cfg))
+
+    # final deliverables are sidecar-gated with the full v3 authentication
+    # chain: stage identity (code identity + lineage) and the inference /
+    # dominance / agreement source bindings (reference structure_reporting
+    # publishes under authenticated sidecars)
+    from farkle_ii_tpu.utils.authenticated_contract import (
+        StageIdentity,
+        canonical_json_sha,
+        make_authenticated_sidecar,
+        resolve_code_identity,
+        write_authenticated_completion,
+    )
+    from farkle_ii_tpu.utils.stage_completion import current_run_lineage
+
+    identity = StageIdentity(
+        stage="reporting",
+        config_sha=stage_sha,
+        freshness_sha=canonical_json_sha(cfg.freshness_key()),
+        code_identity=resolve_code_identity().to_dict(),
+        run_lineage_sha=current_run_lineage(),
+    )
+    sources = {
+        "inference": inference_path(cfg),
+        "dominance": structure_path(cfg),
+        "agreement": summary_path(cfg),
+    }
+    for out in outputs:
+        make_authenticated_sidecar(
+            out, stage_identity=identity, sources=sources,
+            logical_operation="structure_report",
+        )
+    write_authenticated_completion(
+        out_dir / "reporting.completion.json",
+        stage_identity=identity,
+        outputs={p.name: p for p in outputs},
+    )
+
     write_stage_done(
         out_dir, "reporting",
         inputs=[inference_path(cfg), structure_path(cfg), summary_path(cfg)],

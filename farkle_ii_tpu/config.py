@@ -37,14 +37,76 @@ CONFIG_SHA_VERSION = 1
 # Canonical artifact scopes (reference config.py:45 ArtifactScope)
 ARTIFACT_SCOPES = ("by_k", "concat_ks", "across_k", "cross_seed", "diagnostics", "h2h_2p")
 
-# Retired keys -> migration guidance (subset of reference config.py:62-119;
-# extend as needed)
+# Retired keys -> migration guidance (reference config.py:62-119 parity)
 RETIRED_CONFIG_KEYS: dict[str, str] = {
     "sim.num_shuffles": "workload is resolved from screening.resolution_delta",
     "sim.n_games": "workload is resolved from screening.resolution_delta",
+    "sim.power_method": "replaced by screening.resolution_delta",
+    "sim.recompute_num_shuffles": "replaced by screening.resolution_delta",
+    "sim.power_design": "replaced by screening and head2head settings",
+    "sim.n_players": "replaced by sim.n_players_list",
+    "sim.collect_metrics": "replaced by sim.expanded_metrics",
+    "sim.seed_pair": "replaced by sim.seed_list",
     "analysis.trueskill_beta": "moved to trueskill.beta",
+    "analysis.tier_z_star": "replaced by screening bootstrap summaries",
+    "analysis.tier_min_gap": "replaced by screening.practical_delta_by_k",
+    "analysis.frequentist_weights_by_k": "replaced by k_aggregation.k_weights",
+    "analysis.meta_random_if_I2_gt": "replaced by cross-seed stability diagnostics",
+    "analysis.meta_max_other_seeds": "replaced by sim.seed_list",
+    "analysis.meta_comparison_seed": "replaced by sim.seed_list",
+    "analysis.k_aggregation_method": "moved to k_aggregation.method",
+    "analysis.k_weights": "moved to k_aggregation.k_weights",
+    "analysis.agreement_include_combined": "replaced by selection-conditioned agreement",
+    "analysis.agreement_include_across_k": "replaced by selection-conditioned agreement",
+    "analysis.agreement_strategies": "replaced by the frozen H2H candidate family",
+    "head2head.fdr_q": "replaced by head2head.family_alpha",
+    "head2head.bonferroni_total_games_safeguard": "replaced by head2head.total_game_cap",
+    "head2head.bonferroni_design": "replaced by typed head2head settings",
+    "head2head.games_per_pair": "replaced by head2head target power and practical effect",
+    "head2head.tie_break_policy": "replaced by dominance front display rules",
+    "head2head.tie_break_seed": "replaced by stable strategy-id display ordering",
+    "head2head.use_tier_elites": "replaced by the frozen canonical candidate family",
+    "io.analysis_dir": "renamed to io.analysis_subdir",
+    "io.results_dir": "renamed to io.results_dir_prefix",
     "io.append_seed": "results root is always seed-suffixed",
+    "io.meta_analysis_dir": "replaced by canonical cross_seed artifacts under the pair root",
+    "io.interseed_input_dir": "replaced by explicit root-pair run context",
+    "io.interseed_input_layout": "replaced by the canonical root stage layout",
 }
+RETIRED_CONFIG_KEYS.update(
+    {
+        f"analysis.{key}": "replaced by stage preconditions and canonical orchestration"
+        for key in (
+            "run_interseed",
+            "disable_game_stats",
+            "disable_trueskill",
+            "disable_head2head",
+            "disable_hgb",
+            "disable_frequentist",
+            "disable_agreement",
+            "run_trueskill",
+            "run_head2head",
+            "run_game_stats",
+            "run_hgb",
+            "run_frequentist",
+            "run_post_h2h_analysis",
+            "run_agreement",
+            "run_report",
+        )
+    }
+)
+
+# per-command expected root-seed-list lengths (reference config.py:125-136)
+SEED_LIST_LENGTHS_BY_COMMAND: dict[str, int] = {
+    "run": 1,
+    "analyze": 1,
+    "two-seed-pipeline": 2,
+}
+
+
+def expected_seed_list_length(command: str) -> int | None:
+    """Expected root-list length for a CLI command (None = unconstrained)."""
+    return SEED_LIST_LENGTHS_BY_COMMAND.get(command)
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -146,7 +208,12 @@ class AnalysisConfig:
     outputs: dict[str, Any] = field(default_factory=dict)
     progress_logging: dict[str, Any] = field(default_factory=dict)
     run_rng_diagnostics: bool = True
+    rng_lags: list[int] = field(default_factory=lambda: [1])
     rng_max_matchup_groups: int = 2000
+    margin_thresholds: list[int] = field(default_factory=lambda: [50, 100, 250])
+    rare_event_target: int = 10_000
+    rare_event_margin_quantile: float = 0.001
+    rare_event_target_rate: float = 1e-4
     rare_event_detail: bool = False
 
 
@@ -213,8 +280,17 @@ class TPUConfig:
     profile_dir: str | None = None  # jax.profiler trace output for one cell run
     # straggler compaction inside the game kernel: ~2-3x faster on long-tail
     # games, but some irregular batch shapes have triggered hard TPU-runtime
-    # faults in the argsort/gather path; disable for affected workloads
+    # faults in the partition/gather path; disable for affected workloads
     straggler_compaction: bool = True
+    # compacted batches are padded to a multiple of this (fault-safe shapes);
+    # probe with scripts/probe_fault_envelope.py before changing
+    compact_pad_multiple: int = 4096
+    # cap on games per H2H execution dispatch (fault envelope + XLA
+    # constant-folding guard); probed, not folklore — see fault_envelope_path
+    h2h_games_per_dispatch: int = 16384
+    # optional probed-envelope artifact (scripts/probe_fault_envelope.py
+    # output) recording which (k, chunk, compaction) shapes are fault-free
+    fault_envelope_path: str | None = None
 
 
 @dataclass
@@ -242,6 +318,16 @@ class AppConfig:
     results_root_override: str | None = field(
         default=None, init=False, repr=False, compare=False
     )
+
+    def validate_statistical_contract(self, *, require_two_roots: bool = False) -> None:
+        """Validate locked production settings before expensive work is scheduled.
+
+        Reference parity: ``config.py:1694 _validate_statistical_contract``,
+        adapted to this framework's RNG family (counter-based threefry2x32
+        instead of PCG64DXSM — the addressability contract, not the bit
+        generator, is what is locked).
+        """
+        _validate_statistical_contract(self, require_two_roots=require_two_roots)
 
     # ── Paths ────────────────────────────────────────────────────────────
     @property
@@ -554,6 +640,7 @@ STAGE_CACHE_SCOPES: dict[str, tuple[str, ...]] = {
     "game_stats": ("analysis", "artifact_contract"),
     "rng_diagnostics": ("analysis", "rng", "artifact_contract"),
     "trueskill": ("trueskill", "artifact_contract"),
+    "pair_trueskill": ("trueskill", "artifact_contract"),
     "hgb": ("hgb", "artifact_contract"),
     "screening": ("screening", "k_aggregation", "artifact_contract"),
     "root_stability": ("robustness", "screening", "artifact_contract"),
@@ -597,3 +684,124 @@ def compute_stage_config_sha(cfg: AppConfig, stage_key: str) -> str:
 def assign_config_sha(cfg: AppConfig) -> AppConfig:
     cfg.config_sha = compute_config_sha(cfg)
     return cfg
+
+
+def _validate_statistical_contract(cfg: AppConfig, *, require_two_roots: bool) -> None:
+    """Locked statistical production contract (reference config.py:1694)."""
+    import math
+
+    player_counts = [int(k) for k in cfg.sim.n_players_list]
+    if not player_counts or any(k < 2 for k in player_counts):
+        raise ValueError("sim.n_players_list must contain player counts >= 2")
+    if len(set(player_counts)) != len(player_counts):
+        raise ValueError("sim.n_players_list must not contain duplicate player counts")
+    if cfg.rng.scheme_version != 2 or cfg.rng.bit_generator != "threefry2x32":
+        raise ValueError("rng must use scheme_version=2 and bit_generator='threefry2x32'")
+    contract_versions = dataclasses.asdict(cfg.artifact_contract)
+    if any(int(v) < 1 for v in contract_versions.values()):
+        raise ValueError("artifact_contract versions must all be positive integers")
+    if cfg.artifact_contract.artifact_contract_version != 2:
+        raise ValueError("artifact_contract.artifact_contract_version is locked at 2")
+    if not 0.0 < cfg.screening.resolution_delta < 1.0:
+        raise ValueError("screening.resolution_delta must be between 0 and 1")
+    if cfg.screening.interval_confidence != 0.95:
+        raise ValueError("screening.interval_confidence is locked at 0.95")
+    if cfg.screening.bootstrap_replicates < 1:
+        raise ValueError("screening.bootstrap_replicates must be positive")
+    if cfg.screening.candidate_contribution_size < 1:
+        raise ValueError("screening.candidate_contribution_size must be positive")
+    if not cfg.robustness.report_pareto or not cfg.robustness.report_maximin:
+        raise ValueError(
+            "robustness must report both Pareto membership and maximin leadership"
+        )
+    if cfg.robustness.delta_seed_stability <= 0.0:
+        raise ValueError("robustness.delta_seed_stability must be positive")
+    if not 0.0 < cfg.robustness.joint_discrepancy_alpha < 1.0:
+        raise ValueError("robustness.joint_discrepancy_alpha must be between 0 and 1")
+    fractions = tuple(float(f) for f in cfg.robustness.matched_count_fractions)
+    if (
+        not fractions
+        or any(not 0.0 < f <= 1.0 for f in fractions)
+        or tuple(sorted(set(fractions))) != fractions
+        or fractions[-1] != 1.0
+    ):
+        raise ValueError(
+            "robustness.matched_count_fractions must be unique increasing values "
+            "in (0, 1] ending at 1"
+        )
+    cap = cfg.screening.max_shuffles_per_root_k
+    if cap is not None and (isinstance(cap, bool) or not isinstance(cap, int) or cap < 1):
+        raise ValueError("screening.max_shuffles_per_root_k must be positive when configured")
+    gps = cfg.screening.projected_games_per_second
+    if gps is not None and (not math.isfinite(gps) or gps <= 0.0):
+        raise ValueError("screening.projected_games_per_second must be positive when configured")
+    if cfg.batching.target_batches != 100 or cfg.batching.min_shuffles_per_batch < 30:
+        raise ValueError(
+            "batching requires exactly 100 equal batches with at least 30 "
+            "shuffles per batch"
+        )
+
+    practical = {
+        int(k): float(v) for k, v in (cfg.screening.practical_delta_by_k or {}).items()
+    }
+    if set(practical) != set(player_counts):
+        raise ValueError(
+            "screening.practical_delta_by_k keys must match sim.n_players_list"
+        )
+    if any(v <= 0.0 for v in practical.values()):
+        raise ValueError("screening practical thresholds must be positive")
+    if cfg.screening.delta_across_k is None or cfg.screening.delta_across_k <= 0.0:
+        raise ValueError("screening.delta_across_k must be explicitly configured and positive")
+
+    if cfg.k_aggregation.method not in {"equal-k", "declared-mapping"}:
+        raise ValueError("k_aggregation.method must be 'equal-k' or 'declared-mapping'")
+    if cfg.k_aggregation.method == "equal-k" and cfg.k_aggregation.k_weights is not None:
+        raise ValueError("equal-k aggregation must not provide k_aggregation.k_weights")
+    if cfg.k_aggregation.method == "declared-mapping":
+        weights = cfg.k_aggregation.k_weights
+        if weights is None or {int(k) for k in weights} != set(player_counts):
+            raise ValueError("declared-mapping weights must cover configured player counts")
+        if any(float(v) <= 0.0 for v in weights.values()):
+            raise ValueError("declared player-count weights must be positive")
+        if abs(sum(float(v) for v in weights.values()) - 1.0) > 1e-12:
+            raise ValueError("declared player-count weights must sum to 1")
+
+    roots = cfg.sim.seed_list or [cfg.sim.seed]
+    if require_two_roots and len(roots) != 2:
+        raise ValueError(
+            "the combined-root production workflow requires exactly two root seeds"
+        )
+    if len({int(seed) for seed in roots}) != len(roots):
+        raise ValueError("root seeds must be distinct")
+
+    h2h = cfg.head2head
+    if not 0.0 < h2h.family_alpha < 1.0:
+        raise ValueError("head2head.family_alpha must be between 0 and 1")
+    if not 0.0 < h2h.target_power < 1.0:
+        raise ValueError("head2head.target_power must be between 0 and 1")
+    if h2h.practical_delta <= 0.0:
+        raise ValueError("head2head.practical_delta must be positive")
+    if h2h.delta_equivalence is not None and not 0.0 < h2h.delta_equivalence < 1.0:
+        raise ValueError("head2head.delta_equivalence must be between 0 and 1 when configured")
+    sensitivity = tuple(float(d) for d in h2h.sensitivity_deltas)
+    if (
+        not sensitivity
+        or len(set(sensitivity)) != len(sensitivity)
+        or any(d <= 0.0 for d in sensitivity)
+        or h2h.practical_delta not in sensitivity
+        or 0.04 not in sensitivity
+    ):
+        raise ValueError(
+            "head2head.sensitivity_deltas must be unique positive values containing "
+            "the practical delta and 0.04"
+        )
+    if tuple(float(v) for v in h2h.seat1_advantage_scenarios) != (0.0, 0.03, 0.06):
+        raise ValueError("head2head.seat1_advantage_scenarios is locked to 0, 0.03, 0.06")
+    if h2h.candidate_cap is not None and h2h.candidate_cap < 2:
+        raise ValueError("head2head.candidate_cap must be at least 2 when configured")
+    if not 0.0 < h2h.min_candidate_completion_rate <= 1.0:
+        raise ValueError("head2head.min_candidate_completion_rate must be in (0, 1]")
+    if not math.isfinite(h2h.max_attempt_multiplier) or h2h.max_attempt_multiplier < 1.0:
+        raise ValueError("head2head.max_attempt_multiplier must be finite and at least 1")
+    if h2h.total_game_cap < 1:
+        raise ValueError("head2head.total_game_cap must be positive")

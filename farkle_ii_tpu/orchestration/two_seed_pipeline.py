@@ -47,13 +47,20 @@ def _root_lifecycle_identity(cfg: AppConfig) -> str:
     return digest.hexdigest()
 
 
-def _run_one_seed(cfg: AppConfig, *, force: bool) -> dict:
+def _run_one_seed(cfg: AppConfig, *, force: bool, lineage: str | None = None) -> dict:
     from farkle_ii_tpu.simulation.runner import run_simulation
+    from farkle_ii_tpu.utils.stage_completion import run_lineage
 
     cfg.results_root.mkdir(parents=True, exist_ok=True)
     seed_utils.write_active_config(cfg, cfg.results_root / "active_config.yaml")
-    sim_result = run_simulation(cfg, force=force, progress=lambda m: logger.info("%s", m))
-    analysis_result = StageRunner(cfg, build_root_stage_plan()).run(force=force)
+    # lineage is passed explicitly (not inherited) because parallel_seeds
+    # runs the roots on worker threads, which do not share the caller's
+    # context variables
+    with run_lineage(lineage):
+        sim_result = run_simulation(
+            cfg, force=force, progress=lambda m: logger.info("%s", m)
+        )
+        analysis_result = StageRunner(cfg, build_root_stage_plan()).run(force=force)
     return {
         "seed": cfg.sim.seed,
         "games": sum(
@@ -111,39 +118,8 @@ def _combine_pair_contributions(
         },
     )
 
-    # TrueSkill percentile contribution: mean across roots
-    from farkle_ii_tpu.analysis.run_trueskill import contribution_path
-
-    ts_frames = []
-    for cfg in (cfg_a, cfg_b):
-        ts = read_parquet_artifact(
-            contribution_path(cfg), expected_producer="trueskill"
-        ).to_pandas().set_index("strategy")
-        ts_frames.append(ts)
-    ts_common = sorted(set(ts_frames[0].index) & set(ts_frames[1].index))
-    ts_combined = pd.DataFrame(
-        {
-            "root_seed": pair_cfg.sim.seed,
-            "strategy": ts_common,
-            "k_support": [
-                ts_frames[0].loc[s, "k_support"] for s in ts_common
-            ],
-            "percentile_contribution": (
-                ts_frames[0].loc[ts_common, "percentile_contribution"].to_numpy()
-                + ts_frames[1].loc[ts_common, "percentile_contribution"].to_numpy()
-            )
-            / 2.0,
-        }
-    )
-    write_parquet_artifact_atomic(
-        pa.Table.from_pandas(ts_combined, preserve_index=False),
-        contribution_path(pair_cfg),
-        producer="trueskill", scope="cross_seed",
-        metadata={
-            "operation": "root_combined_percentile_contribution",
-            "roots": [cfg_a.sim.seed, cfg_b.sim.seed],
-        },
-    )
+    # TrueSkill: NOT combined here — the pair plan's pair_trueskill stage
+    # refits ratings over pair-combined curated rows (run_trueskill.run_root_pair)
 
     # pair strategy manifest: identical grids across roots; copy root A's
     manifest = read_parquet_artifact(
@@ -185,33 +161,53 @@ def run_pipeline(
     cfg_a = seed_utils.prepare_seed_config(cfg, seed_a, seed_b, seed_a)
     cfg_b = seed_utils.prepare_seed_config(cfg, seed_a, seed_b, seed_b)
 
-    health: dict = {"seeds": [seed_a, seed_b], "roots": {}, "status": "running"}
+    # run-lineage sha: chains the pipeline invocation identity into every
+    # completion stamp written below (per-root and pair scopes)
+    lineage = hashlib.sha256(
+        json.dumps(
+            {"run_id": run_id, "config_sha": cfg.config_sha, "seeds": [seed_a, seed_b]},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+
+    health: dict = {
+        "seeds": [seed_a, seed_b], "roots": {}, "status": "running",
+        "run_lineage_sha": lineage,
+    }
     try:
         if cfg.orchestration.parallel_seeds:
             with ThreadPoolExecutor(max_workers=2) as pool:
                 futures = [
-                    pool.submit(_run_one_seed, c, force=force) for c in (cfg_a, cfg_b)
+                    pool.submit(_run_one_seed, c, force=force, lineage=lineage)
+                    for c in (cfg_a, cfg_b)
                 ]
                 results = [f.result() for f in futures]
         else:
-            results = [_run_one_seed(c, force=force) for c in (cfg_a, cfg_b)]
+            results = [
+                _run_one_seed(c, force=force, lineage=lineage) for c in (cfg_a, cfg_b)
+            ]
         for res in results:
             health["roots"][str(res["seed"])] = res
 
         # ── pair analysis ────────────────────────────────────────────────
+        from farkle_ii_tpu.analysis.root_stability import summary_path
+        from farkle_ii_tpu.analysis.stage_registry import build_root_pair_stage_plan
+        from farkle_ii_tpu.utils.stage_completion import run_lineage
+
         pair_cfg = seed_utils.prepare_pair_config(cfg, seed_a, seed_b)
         pair_cfg.results_root.mkdir(parents=True, exist_ok=True)
 
-        from farkle_ii_tpu.analysis.root_stability import build_two_root_stability
-
-        stability = build_two_root_stability(pair_cfg, cfg_a, cfg_b, force=force)
+        with run_lineage(lineage):
+            _combine_pair_contributions(pair_cfg, cfg_a, cfg_b)
+            # stability -> pair trueskill refit -> candidate freeze -> H2H tail
+            tail_result = StageRunner(pair_cfg, build_root_pair_stage_plan()).run(
+                force=force
+            )
+        stability = json.loads(summary_path(pair_cfg).read_text())
         health["root_stability"] = {
             "observed_max_abs_discrepancy": stability["observed_max_abs_discrepancy"],
             "within_bootstrap_band": stability["observed_within_bootstrap_band"],
         }
-
-        _combine_pair_contributions(pair_cfg, cfg_a, cfg_b)
-        tail_result = StageRunner(pair_cfg, H2H_TAIL_STAGES).run(force=force)
         health["pair_analysis_stages"] = tail_result.ran
         health["status"] = "ok"
     except Exception as exc:

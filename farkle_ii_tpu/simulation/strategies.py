@@ -419,6 +419,22 @@ def build_strategy_grid(**kwargs: Any) -> list[ThresholdStrategy]:
     return build_strategy_encoder(**kwargs).strategies()
 
 
+def parse_strategy_identifier(
+    spec: str | int, *, encoder: StrategyEncoder | None = None
+) -> ThresholdStrategy:
+    """Resolve a strategy from an integer id (default-grid enumeration
+    order) or a canonical strategy string (reference strategies.py:762)."""
+    if isinstance(spec, int) or (isinstance(spec, str) and spec.strip().isdigit()):
+        enc = encoder or build_strategy_encoder()
+        sid = int(spec)
+        if not 0 <= sid < len(enc):
+            raise ValueError(
+                f"strategy id {sid} out of range for a {len(enc)}-strategy grid"
+            )
+        return strategy_from_tuple(enc.tuples[sid], strategy_id=sid)
+    return parse_strategy(str(spec).strip())
+
+
 # ---------------------------------------------------------------------------
 # Device-side parameter packing
 # ---------------------------------------------------------------------------

@@ -203,9 +203,17 @@ def write_parquet_artifact_atomic(
 
 
 def read_parquet_artifact(
-    path: str | Path, *, expected_producer: str | None = None, validate: bool = True
+    path: str | Path,
+    *,
+    expected_producer: str | None = None,
+    validate: bool = True,
+    columns: list[str] | None = None,
 ) -> pa.Table:
-    """Read a parquet artifact, enforcing its sidecar binding."""
+    """Read a parquet artifact, enforcing its sidecar binding.
+
+    ``columns`` prunes the read to the named columns (the sidecar binds the
+    whole file's bytes regardless, so validation is unaffected).
+    """
     if validate:
         validate_sidecar(path, expected_producer=expected_producer)
-    return pq.read_table(path)
+    return pq.read_table(path, columns=columns)

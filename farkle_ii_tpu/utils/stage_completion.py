@@ -15,7 +15,10 @@ BLOCKED_BY_CAP
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
+from contextvars import ContextVar
 from enum import StrEnum
+from functools import lru_cache
 from pathlib import Path
 from typing import Any, Iterable, Mapping
 
@@ -62,6 +65,31 @@ def stamp_path(stage_dir: str | Path, stage_key: str) -> Path:
     return Path(stage_dir) / f"{stage_key}.done.json"
 
 
+_RUN_LINEAGE: ContextVar[str | None] = ContextVar("farkle_run_lineage", default=None)
+
+
+@contextmanager
+def run_lineage(sha: str | None):
+    """Scope a run-lineage sha: stamps written inside record it.
+
+    Orchestration sets this to the run-context lineage sha so every
+    completion stamp produced under a pipeline run carries its provenance
+    (reference stage_completion.py:371 binds run lineage into stamps).
+    """
+    token = _RUN_LINEAGE.set(sha)
+    try:
+        yield
+    finally:
+        _RUN_LINEAGE.reset(token)
+
+
+@lru_cache(maxsize=1)
+def _cached_code_identity() -> dict[str, Any]:
+    from farkle_ii_tpu.utils.authenticated_contract import resolve_code_identity
+
+    return resolve_code_identity().to_dict()
+
+
 def write_stage_done(
     stage_dir: str | Path,
     stage_key: str,
@@ -73,7 +101,13 @@ def write_stage_done(
     cache_key_version: int = 1,
     extra: Mapping[str, Any] | None = None,
 ) -> Path:
-    """Publish the completion stamp binding exact input/output bytes."""
+    """Publish the completion stamp binding exact input/output bytes.
+
+    Every stamp additionally records the producing code identity (git commit
+    + dirty fingerprint) and the active run-lineage sha — provenance that is
+    recorded, not gated on (a rebuilt binary with identical config and bytes
+    stays COMPLETE_VALID, matching the reference's resolution semantics).
+    """
     payload = {
         "stamp_version": STAGE_STAMP_VERSION,
         "stage": stage_key,
@@ -82,6 +116,8 @@ def write_stage_done(
         "config_sha": config_sha,
         "freshness_key": _normalize_json(dict(freshness_key or {})),
         "cache_key_version": cache_key_version,
+        "code_identity": _cached_code_identity(),
+        "run_lineage_sha": _RUN_LINEAGE.get(),
         **dict(extra or {}),
     }
     path = stamp_path(stage_dir, stage_key)
@@ -136,3 +172,8 @@ def resolve_stage_state(
     ):
         return StageState.COMPLETE_STALE
     return StageState.COMPLETE_VALID
+
+
+def current_run_lineage() -> str | None:
+    """The run-lineage sha scoped by :func:`run_lineage`, if any."""
+    return _RUN_LINEAGE.get()

@@ -259,3 +259,35 @@ def test_mesh_runner_bit_identical_to_single_device(tmp_path):
     # the sharded path really ran: mesh run used sharded chunks (8 of 9
     # shuffles per block), single-device used 2-shuffle chunks
     assert np.asarray(t8["attempted_exposures"]).sum() == 18 * 8 * 3
+
+
+def test_cli_surface(cfg, tmp_path):
+    """analyze flags, --seed-pair exclusivity, seed-list-length enforcement."""
+    import pytest
+
+    from farkle_ii_tpu.cli import main as cli
+
+    parser = cli.build_parser()
+    args = parser.parse_args(
+        ["analyze", "metrics", "--compute-game-stats", "--rng-lags", "1", "2",
+         "--rare-event-target", "9000"]
+    )
+    c = C.AppConfig()
+    cli._apply_analysis_flags(c, args)
+    assert c.analysis.outputs["compute_game_stats"] is True
+    assert c.analysis.rng_lags == [1, 2]
+    assert c.analysis.rare_event_target == 9000
+
+    args = parser.parse_args(["two-seed-pipeline", "--seed-pair", "3", "4"])
+    assert cli._resolve_seed_pair(args) == (3, 4)
+    args = parser.parse_args(
+        ["two-seed-pipeline", "--seed-pair", "3", "4", "--seed-a", "5"]
+    )
+    with pytest.raises(SystemExit):
+        cli._resolve_seed_pair(args)
+
+    one = C.AppConfig()
+    one.sim.seed_list = [1, 2]
+    with pytest.raises(SystemExit, match="exactly 1"):
+        cli._enforce_seed_list_length(one, "run")
+    cli._enforce_seed_list_length(one, "two-seed-pipeline")

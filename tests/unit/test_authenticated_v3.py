@@ -1,0 +1,203 @@
+"""v3 authenticated sidecars, immutable manifests, lifecycle, finalization.
+
+Reference parity: utils/authenticated_contract.py:823 (make), :966 (load),
+:1023 (validate), :1200 (immutable publish), :1408 (classify), :1460
+(finalize missing sidecar).
+"""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from farkle_ii_tpu.utils import authenticated_contract as ac
+
+
+@pytest.fixture()
+def stage_id():
+    return ac.StageIdentity(
+        stage="test_stage", config_sha="cfg" * 8, freshness_sha="fresh" * 4,
+        code_identity={"git_commit": "abc", "dirty": False, "dirty_fingerprint": None},
+        run_lineage_sha="lineage" * 4,
+    )
+
+
+@pytest.fixture()
+def artifact(tmp_path):
+    p = tmp_path / "data.parquet"
+    pq.write_table(pa.table({"a": [1, 2, 3]}), p)
+    return p
+
+
+def test_make_load_validate_roundtrip(artifact, stage_id):
+    made = ac.make_authenticated_sidecar(
+        artifact, stage_identity=stage_id,
+        method_contract={"kind": "exact_counts"}, logical_operation="write_rows",
+    )
+    loaded = ac.load_authenticated_sidecar(artifact)
+    assert loaded == made
+    payload = ac.validate_authenticated_artifact(
+        artifact, expected_stage_identity=stage_id,
+        expected_sidecar_sha256=made["sidecar_contract_sha256"],
+    )
+    assert payload["artifact"]["schema_sha256"] is not None
+
+
+def test_missing_vs_corrupt_distinguished(artifact, stage_id):
+    with pytest.raises(ac.MissingSidecarError):
+        ac.load_authenticated_sidecar(artifact)
+    ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    sc = ac.auth_sidecar_path(artifact)
+    payload = json.loads(sc.read_text())
+    payload["artifact"]["byte_length"] += 1  # tamper: digest no longer matches
+    sc.write_text(json.dumps(payload))
+    with pytest.raises(ac.CorruptSidecarError):
+        ac.load_authenticated_sidecar(artifact)
+
+
+def test_tampered_artifact_fails_closed(artifact, stage_id):
+    ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    pq.write_table(pa.table({"a": [9, 9, 9]}), artifact)
+    with pytest.raises(ac.ArtifactMismatchError, match="drifted"):
+        ac.validate_authenticated_artifact(artifact)
+
+
+def test_wrong_stage_identity_fails(artifact, stage_id):
+    ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    other = ac.StageIdentity(stage="other", config_sha="x", freshness_sha="y")
+    with pytest.raises(ac.ArtifactMismatchError, match="stage identity"):
+        ac.validate_authenticated_artifact(artifact, expected_stage_identity=other)
+
+
+def test_source_chain_binding(tmp_path, artifact, stage_id):
+    src = tmp_path / "upstream.parquet"
+    pq.write_table(pa.table({"u": [1]}), src)
+    ac.make_authenticated_sidecar(src, stage_identity=stage_id)
+    ac.make_authenticated_sidecar(
+        artifact, stage_identity=stage_id, sources={"rows": src}
+    )
+    ac.validate_authenticated_artifact(artifact, source_paths={"rows": src})
+    # upstream drift (bytes + re-authenticated sidecar) breaks the binding
+    pq.write_table(pa.table({"u": [2]}), src)
+    ac.make_authenticated_sidecar(src, stage_identity=stage_id)
+    with pytest.raises(ac.ArtifactMismatchError, match="upstream"):
+        ac.validate_authenticated_artifact(artifact, source_paths={"rows": src})
+
+
+def test_immutable_manifest_publish_verify(tmp_path, stage_id):
+    path = tmp_path / "rows_manifest.v3.ndjson"
+    entries = [
+        {"k": 2, "shuffle_lo": 0, "n_rows": 10},
+        {"k": 2, "shuffle_lo": 16, "n_rows": 10},
+        {"k": 3, "shuffle_lo": 0, "n_rows": 12},
+    ]
+    payload = ac.publish_immutable_manifest_atomic(
+        path, entries, stage_identity=stage_id, coordinate_fields=("k", "shuffle_lo")
+    )
+    assert payload["entry_count"] == 3
+    ac.verify_immutable_manifest(path)
+
+    # appending a line invalidates the root
+    with path.open("a") as f:
+        f.write('{"k": 4, "shuffle_lo": 0, "n_rows": 1}\n')
+    with pytest.raises(ac.ArtifactMismatchError):
+        ac.verify_immutable_manifest(path)
+
+
+def test_immutable_manifest_rejects_unordered(tmp_path, stage_id):
+    path = tmp_path / "m.ndjson"
+    entries = [{"k": 3, "s": 0}, {"k": 2, "s": 0}]
+    with pytest.raises(ValueError, match="strictly increasing"):
+        ac.publish_immutable_manifest_atomic(
+            path, entries, stage_identity=stage_id, coordinate_fields=("k", "s")
+        )
+    assert not path.exists()
+
+
+def test_lifecycle_classification(tmp_path, artifact, stage_id):
+    completion = tmp_path / "stage.completion.json"
+    outputs = {"table": artifact}
+    # nothing exists -> not_started (artifact exists, so partial)
+    assert ac.classify_authenticated_lifecycle(
+        completion, expected_stage_identity=stage_id, required_outputs=outputs,
+    ) == "partial_resumable"
+    assert ac.classify_authenticated_lifecycle(
+        tmp_path / "nothing.json", expected_stage_identity=stage_id,
+        required_outputs={"t": tmp_path / "absent.parquet"},
+    ) == "not_started"
+
+    ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    ac.write_authenticated_completion(
+        completion, stage_identity=stage_id, outputs=outputs
+    )
+    assert ac.classify_authenticated_lifecycle(
+        completion, expected_stage_identity=stage_id, required_outputs=outputs,
+    ) == "complete_valid"
+
+    # stage identity drift -> stale
+    other = ac.StageIdentity(stage="test_stage", config_sha="new", freshness_sha="f")
+    assert ac.classify_authenticated_lifecycle(
+        completion, expected_stage_identity=other, required_outputs=outputs,
+    ) == "complete_stale"
+
+    # artifact drift -> stale
+    pq.write_table(pa.table({"a": [7]}), artifact)
+    assert ac.classify_authenticated_lifecycle(
+        completion, expected_stage_identity=stage_id, required_outputs=outputs,
+    ) == "complete_stale"
+
+
+def test_blocked_by_cap_state(tmp_path, artifact, stage_id):
+    ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    completion = tmp_path / "c.json"
+    ac.write_authenticated_completion(
+        completion, stage_identity=stage_id, outputs={"t": artifact},
+        state="blocked_by_cap",
+    )
+    assert ac.classify_authenticated_lifecycle(
+        completion, expected_stage_identity=stage_id, required_outputs={"t": artifact},
+    ) == "blocked_by_cap"
+
+
+def test_finalize_missing_sidecar(tmp_path, artifact, stage_id):
+    made = ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    completion = ac.write_authenticated_completion(
+        tmp_path / "c.json", stage_identity=stage_id, outputs={"t": artifact}
+    )
+    out_entry = completion["outputs"]["t"]
+    sc = ac.auth_sidecar_path(artifact)
+    sc.unlink()
+
+    # reconstructable only from the exact completion-bound payload
+    restored = ac.finalize_missing_sidecar_atomic(
+        artifact, expected_sidecar_payload=made, completion_output=out_entry
+    )
+    assert restored == made
+    ac.validate_authenticated_artifact(artifact)
+
+    # present sidecar: validated, never replaced
+    again = ac.finalize_missing_sidecar_atomic(
+        artifact, expected_sidecar_payload=made, completion_output=out_entry
+    )
+    assert again["sidecar_contract_sha256"] == made["sidecar_contract_sha256"]
+
+    # a doctored payload is rejected
+    sc.unlink()
+    fake = dict(made)
+    fake["method_contract"] = {"kind": "forged"}
+    with pytest.raises(ac.AuthenticatedContractError):
+        ac.finalize_missing_sidecar_atomic(
+            artifact, expected_sidecar_payload=fake, completion_output=out_entry
+        )
+    assert not sc.exists()
+
+
+def test_stamps_record_code_identity_and_lineage(tmp_path):
+    from farkle_ii_tpu.utils.stage_completion import run_lineage, write_stage_done
+
+    with run_lineage("abc123"):
+        p = write_stage_done(tmp_path, "s1", config_sha="c")
+    stamp = json.loads(p.read_text())
+    assert stamp["run_lineage_sha"] == "abc123"
+    assert "code_identity" in stamp and "git_commit" in stamp["code_identity"]
