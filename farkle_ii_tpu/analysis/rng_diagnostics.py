@@ -1,11 +1,18 @@
 """RNG-quality diagnostics: lagged autocorrelation of game outcomes.
 
-Reference parity (``/root/reference/src/farkle/analysis/rng_diagnostics.py``):
-autocorrelations of the win indicator and of game length over games ordered
-by ``game_seed``, at the strategy level and the matchup-strategy level
-(capped at ``analysis.rng_max_matchup_groups`` groups), with
-``diagnostic_band_*`` reference bands at +/- 2/sqrt(n). The bands carry no
-independence claim — they are descriptive reference lines only.
+Reference parity (``/root/reference/src/farkle/analysis/rng_diagnostics.py:564-668``):
+autocorrelations of win indicators and game length over games ordered by
+``game_seed``, at four levels — global, strategy, **matchup**, and
+**matchup-strategy** (every k, capped at ``analysis.rng_max_matchup_groups``
+deterministically ordered groups) — with ``diagnostic_band_*`` reference
+lines at ±2/√n. The bands carry no independence claim — they are
+descriptive reference lines only.
+
+Lags come from ``analysis.rng_lags``. All group statistics are computed
+from vectorized grouped sufficient sums (one ``bincount`` sweep per lag per
+level — the streaming-accumulator shape of the reference without per-row
+Python), and the rows read is column-pruned to the k+4 needed columns so
+the mega k=2 cell never materializes its full 40-column table.
 """
 
 from __future__ import annotations
@@ -30,105 +37,174 @@ from farkle_ii_tpu.utils.stage_completion import (
 
 logger = logging.getLogger(__name__)
 
-LAGS = (1, 2, 3, 5, 10)
-
 
 def diagnostics_path(cfg: AppConfig, k: int) -> Path:
     return cfg.scope_dir("diagnostics") / f"rng_autocorrelation_{k}p.parquet"
 
 
-def lagged_autocorr(values: np.ndarray, lag: int) -> float | None:
-    n = len(values)
-    if n <= lag + 1:
-        return None
-    a = values[:-lag]
-    b = values[lag:]
-    sa, sb = a.std(), b.std()
-    if sa == 0 or sb == 0:
-        return None
-    return float(np.corrcoef(a, b)[0, 1])
+def grouped_lagged_autocorr(
+    codes: np.ndarray, values: np.ndarray, lag: int, n_groups: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-group Pearson autocorrelation at ``lag`` from grouped sums.
+
+    ``codes``/``values`` must be sorted by (group, stream order); lag pairs
+    never cross group boundaries. Returns ``(corr, n_pairs)`` arrays of
+    length ``n_groups`` (NaN where undefined).
+    """
+    corr = np.full(n_groups, np.nan)
+    if len(values) <= lag:
+        return corr, np.zeros(n_groups, dtype=np.int64)
+    same = codes[lag:] == codes[:-lag]
+    g = codes[lag:][same]
+    a = values[:-lag][same].astype(np.float64)
+    b = values[lag:][same].astype(np.float64)
+    n = np.bincount(g, minlength=n_groups).astype(np.float64)
+    sa = np.bincount(g, weights=a, minlength=n_groups)
+    sb = np.bincount(g, weights=b, minlength=n_groups)
+    saa = np.bincount(g, weights=a * a, minlength=n_groups)
+    sbb = np.bincount(g, weights=b * b, minlength=n_groups)
+    sab = np.bincount(g, weights=a * b, minlength=n_groups)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = sab - sa * sb / np.where(n > 0, n, 1)
+        va = saa - sa * sa / np.where(n > 0, n, 1)
+        vb = sbb - sb * sb / np.where(n > 0, n, 1)
+        denom = np.sqrt(va * vb)
+        ok = (n > 1) & (denom > 0)
+        corr[ok] = cov[ok] / denom[ok]
+    return corr, n.astype(np.int64)
 
 
-def _series_rows(
-    values: np.ndarray, *, level: str, key: str, metric: str, k: int, root: int
+def _level_rows(
+    *,
+    codes: np.ndarray,
+    values: np.ndarray,
+    keys: list[str],
+    level: str,
+    metric: str,
+    k: int,
+    root: int,
+    lags: list[int],
 ) -> list[dict]:
-    n = len(values)
-    band = 2.0 / np.sqrt(n) if n > 0 else None
-    rows = []
-    for lag in LAGS:
-        rows.append(
-            {
-                "root_seed": root,
-                "k": k,
-                "level": level,
-                "group_key": key,
-                "metric": metric,
-                "lag": lag,
-                "n_games": n,
-                "autocorrelation": lagged_autocorr(values, lag),
-                "diagnostic_band_low": -band if band is not None else None,
-                "diagnostic_band_high": band,
-            }
-        )
-    return rows
+    """Autocorrelation rows for one (level, metric) across all its groups."""
+    n_groups = len(keys)
+    group_sizes = np.bincount(codes, minlength=n_groups)
+    out: list[dict] = []
+    per_lag = {
+        lag: grouped_lagged_autocorr(codes, values, lag, n_groups) for lag in lags
+    }
+    for gi, key in enumerate(keys):
+        n = int(group_sizes[gi])
+        band = 2.0 / np.sqrt(n) if n > 0 else None
+        for lag in lags:
+            corr, _pairs = per_lag[lag]
+            value = corr[gi]
+            out.append(
+                {
+                    "root_seed": root,
+                    "k": k,
+                    "level": level,
+                    "group_key": key,
+                    "metric": metric,
+                    "lag": lag,
+                    "n_games": n,
+                    "autocorrelation": None if np.isnan(value) else float(value),
+                    "diagnostic_band_low": -band if band is not None else None,
+                    "diagnostic_band_high": band,
+                }
+            )
+    return out
+
+
+def _rng_columns(k: int) -> list[str]:
+    return ["game_seed", "winner_seat", "n_rounds", "termination_status"] + [
+        f"P{s}_strategy" for s in range(1, k + 1)
+    ]
 
 
 def run_for_k(cfg: AppConfig, k: int) -> pd.DataFrame:
     rows = read_parquet_artifact(
-        cfg.curated_rows_path(k), expected_producer="curate"
+        cfg.curated_rows_path(k), expected_producer="curate",
+        columns=_rng_columns(k),
     ).to_pandas()
-    rows = rows.sort_values("game_seed", kind="mergesort")
-    completed = rows["termination_status"] == "completed"
+    rows = rows.sort_values("game_seed", kind="mergesort").reset_index(drop=True)
     root = int(cfg.sim.seed)
+    lags = sorted({int(v) for v in cfg.analysis.rng_lags if int(v) >= 1})
     out: list[dict] = []
-
-    # global level: game length + seat-1 win indicator
-    out += _series_rows(
-        rows["n_rounds"].to_numpy(dtype=float),
-        level="global", key="all", metric="n_rounds", k=k, root=root,
-    )
-    out += _series_rows(
-        (rows["winner_seat"] == "P1").to_numpy(dtype=float),
-        level="global", key="all", metric="p1_win", k=k, root=root,
+    n_games = len(rows)
+    winner = rows["winner_seat"].to_numpy(dtype=object)
+    strategies = np.stack(
+        [rows[f"P{s}_strategy"].to_numpy(np.int64) for s in range(1, k + 1)], axis=1
     )
 
-    # strategy level: win indicator of each strategy's exposure stream
-    long_parts = []
-    for s in range(1, k + 1):
-        long_parts.append(
-            pd.DataFrame(
-                {
-                    "strategy": rows[f"P{s}_strategy"].to_numpy(),
-                    "won": (rows["winner_seat"] == f"P{s}").to_numpy(dtype=float),
-                    "n_rounds": rows["n_rounds"].to_numpy(dtype=float),
-                    "order": np.arange(len(rows)),
-                }
-            )
+    # ── global level ────────────────────────────────────────────────────
+    zeros = np.zeros(n_games, dtype=np.int64)
+    out += _level_rows(
+        codes=zeros, values=rows["n_rounds"].to_numpy(np.float64),
+        keys=["all"], level="global", metric="n_rounds", k=k, root=root, lags=lags,
+    )
+    out += _level_rows(
+        codes=zeros, values=(winner == "P1").astype(np.float64),
+        keys=["all"], level="global", metric="p1_win", k=k, root=root, lags=lags,
+    )
+
+    # ── strategy level: each strategy's exposure stream ────────────────
+    sids = strategies.T.reshape(-1)  # seat-major: (K*B,) keeps per-seat order
+    order = np.tile(np.arange(n_games), k)
+    won = np.concatenate(
+        [(winner == f"P{s}").astype(np.float64) for s in range(1, k + 1)]
+    )
+    uniq, codes = np.unique(sids, return_inverse=True)
+    sort_idx = np.lexsort((order, codes))
+    out += _level_rows(
+        codes=codes[sort_idx], values=won[sort_idx],
+        keys=[str(int(s)) for s in uniq],
+        level="strategy", metric="win", k=k, root=root, lags=lags,
+    )
+
+    # ── matchup + matchup-strategy levels (all k, capped groups) ───────
+    sorted_lineup = np.sort(strategies, axis=1)
+    matchup_keys_all = np.array(
+        [":".join(str(int(v)) for v in row) for row in sorted_lineup], dtype=object
+    )
+    uniq_m, m_codes = np.unique(matchup_keys_all, return_inverse=True)
+    cap = int(cfg.analysis.rng_max_matchup_groups)
+    if len(uniq_m) > cap:
+        logger.info(
+            "rng diagnostics k=%d: %d matchup groups capped to %d "
+            "(deterministic key order)", k, len(uniq_m), cap,
         )
-    long = pd.concat(long_parts, ignore_index=True).sort_values(
-        ["strategy", "order"], kind="mergesort"
-    )
-    for strategy, group in long.groupby("strategy", sort=True):
-        out += _series_rows(
-            group["won"].to_numpy(),
-            level="strategy", key=str(int(strategy)), metric="win", k=k, root=root,
+    keep = np.flatnonzero(m_codes < cap)  # uniq is sorted: first N keys
+    if len(keep):
+        mk = m_codes[keep]
+        midx = np.argsort(mk, kind="stable")
+        sel = keep[midx]
+        # matchup level: focal = lowest strategy id in the lineup
+        focal = sorted_lineup[sel, 0]
+        focal_won = np.zeros(len(sel))
+        for s in range(1, k + 1):
+            focal_won += ((winner[sel] == f"P{s}") & (strategies[sel, s - 1] == focal))
+        out += _level_rows(
+            codes=m_codes[sel], values=focal_won.astype(np.float64),
+            keys=[str(key) for key in uniq_m[: min(cap, len(uniq_m))]],
+            level="matchup", metric="focal_win", k=k, root=root, lags=lags,
         )
-
-    # matchup level (k=2 only): capped group count
-    if k == 2:
-        comp = rows[completed].copy()
-        a = np.minimum(comp["P1_strategy"], comp["P2_strategy"])
-        b = np.maximum(comp["P1_strategy"], comp["P2_strategy"])
-        comp["matchup"] = a.astype(str) + ":" + b.astype(str)
-        cap = cfg.analysis.rng_max_matchup_groups
-        for i, (matchup, group) in enumerate(comp.groupby("matchup", sort=True)):
-            if i >= cap:
-                logger.info("rng diagnostics: matchup group cap %d reached", cap)
-                break
-            out += _series_rows(
-                (group["winner_seat"] == "P1").to_numpy(dtype=float),
-                level="matchup", key=str(matchup), metric="p1_win", k=k, root=root,
-            )
+        # matchup-strategy level: per (matchup, seat strategy) win stream
+        ms_sids = strategies[sel].T.reshape(-1)
+        ms_matchup = np.tile(m_codes[sel], k)
+        ms_order = np.tile(np.arange(len(sel)), k)
+        ms_won = np.concatenate(
+            [(winner[sel] == f"P{s}").astype(np.float64) for s in range(1, k + 1)]
+        )
+        pair_keys = np.array(
+            [f"{uniq_m[m]}|{s}" for m, s in zip(ms_matchup, ms_sids)], dtype=object
+        )
+        uniq_p, p_codes = np.unique(pair_keys, return_inverse=True)
+        p_sort = np.lexsort((ms_order, p_codes))
+        out += _level_rows(
+            codes=p_codes[p_sort], values=ms_won[p_sort],
+            keys=[str(key) for key in uniq_p],
+            level="matchup_strategy", metric="win", k=k, root=root, lags=lags,
+        )
     return pd.DataFrame(out)
 
 
@@ -151,6 +227,8 @@ def run(cfg: AppConfig, *, force: bool = False) -> None:
             producer="rng_diagnostics", scope="diagnostics",
             metadata={
                 "operation": "lagged_autocorrelation",
+                "lags": sorted({int(v) for v in cfg.analysis.rng_lags}),
+                "matchup_group_cap": int(cfg.analysis.rng_max_matchup_groups),
                 "interpretation": "reference_bands_no_independence_claim",
             },
         )

@@ -125,41 +125,17 @@ def build_two_root_stability(
     rank_b = pd.Series(sb, index=common).rank(ascending=False, method="first")
     rank_move = (rank_a - rank_b).abs()
 
-    frame = pd.DataFrame(
-        {
-            "strategy": common,
-            "root_a": cfg_a.sim.seed,
-            "root_b": cfg_b.sim.seed,
-            "equal_k_score_a": sa,
-            "equal_k_score_b": sb,
-            "discrepancy": disc,
-            "combined_mcse": mcse,
-            "standardized_discrepancy": np.divide(
-                disc, mcse, out=np.full_like(disc, np.nan), where=mcse > 0
-            ),
-            "exceeds_stability_delta": np.abs(disc) > threshold,
-            "rank_a": rank_a.to_numpy(),
-            "rank_b": rank_b.to_numpy(),
-            "abs_rank_movement": rank_move.to_numpy(),
-        }
-    )
-    write_parquet_artifact_atomic(
-        pa.Table.from_pandas(frame, preserve_index=False), stability_path(pair_cfg),
-        producer="root_stability", scope="cross_seed", seed_scope="seed_pair",
-        method=method_contract(
-            "bootstrap",
-            n_resamples=min(pair_cfg.screening.bootstrap_replicates, 500),
-            rng_namespace=401,
-        ),
-        metadata={"operation": "two_root_discrepancy", "roots": [cfg_a.sim.seed, cfg_b.sim.seed]},
-    )
-
-    # joint max-discrepancy bootstrap (namespace 401) over batch vectors
+    # joint max-discrepancy bootstrap (namespace 401) over batch vectors,
+    # also tracking per-strategy bootstrap top-N inclusion per root
+    # (reference root_stability.py:501)
+    top_n = min(pair_cfg.screening.candidate_contribution_size, len(common))
     arrays_a = _batch_delta_vectors(cfg_a, ks)
     arrays_b = _batch_delta_vectors(cfg_b, ks)
     replicates = min(pair_cfg.screening.bootstrap_replicates, 500)
     alpha = float(pair_cfg.robustness.joint_discrepancy_alpha)
     max_disc_samples = np.empty(replicates)
+    incl_counts_a = np.zeros(len(common))
+    incl_counts_b = np.zeros(len(common))
     for r in range(replicates):
         masks_a = {}
         masks_b = {}
@@ -179,11 +155,45 @@ def build_two_root_stability(
         res_a = _equal_k_from_arrays(arrays_a, ks, common, masks_a)
         res_b = _equal_k_from_arrays(arrays_b, ks, common, masks_b)
         max_disc_samples[r] = np.abs(res_a - res_b).max()
+        incl_counts_a[np.argsort(-res_a, kind="stable")[:top_n]] += 1
+        incl_counts_b[np.argsort(-res_b, kind="stable")[:top_n]] += 1
     observed_max = float(np.abs(disc).max())
     bootstrap_quantile = float(np.quantile(max_disc_samples, 1.0 - alpha))
+    incl_a = incl_counts_a / replicates
+    incl_b = incl_counts_b / replicates
+
+    frame = pd.DataFrame(
+        {
+            "strategy": common,
+            "root_a": cfg_a.sim.seed,
+            "root_b": cfg_b.sim.seed,
+            "equal_k_score_a": sa,
+            "equal_k_score_b": sb,
+            "discrepancy": disc,
+            "combined_mcse": mcse,
+            "standardized_discrepancy": np.divide(
+                disc, mcse, out=np.full_like(disc, np.nan), where=mcse > 0
+            ),
+            "exceeds_stability_delta": np.abs(disc) > threshold,
+            "rank_a": rank_a.to_numpy(),
+            "rank_b": rank_b.to_numpy(),
+            "abs_rank_movement": rank_move.to_numpy(),
+            "bootstrap_top_n_inclusion_a": incl_a,
+            "bootstrap_top_n_inclusion_b": incl_b,
+        }
+    )
+    write_parquet_artifact_atomic(
+        pa.Table.from_pandas(frame, preserve_index=False), stability_path(pair_cfg),
+        producer="root_stability", scope="cross_seed", seed_scope="seed_pair",
+        method=method_contract(
+            "bootstrap",
+            n_resamples=replicates,
+            rng_namespace=401,
+        ),
+        metadata={"operation": "two_root_discrepancy", "roots": [cfg_a.sim.seed, cfg_b.sim.seed]},
+    )
 
     # top-N overlap + shortlist changes + control movement
-    top_n = min(pair_cfg.screening.candidate_contribution_size, len(common))
     top_a = set(np.asarray(common)[np.argsort(-sa, kind="stable")[:top_n]].tolist())
     top_b = set(np.asarray(common)[np.argsort(-sb, kind="stable")[:top_n]].tolist())
     shortlist_a = {s for s, v in zip(common, sa) if v >= sa.max() - threshold}
@@ -240,10 +250,15 @@ def build_two_root_stability(
         "stability_delta": threshold,
         "spearman_rank_correlation": float(spearmanr(sa, sb).statistic),
         "kendall_rank_correlation": float(kendalltau(sa, sb).statistic),
+        "rank_movement_p50": float(np.quantile(rank_move, 0.50)),
+        "rank_movement_p90": float(np.quantile(rank_move, 0.90)),
         "rank_movement_p95": float(np.quantile(rank_move, 0.95)),
+        "rank_movement_max": float(rank_move.max()),
         "top_n_size": top_n,
         "top_n_overlap": len(top_a & top_b),
         "top_n_jaccard": len(top_a & top_b) / len(top_a | top_b),
+        "bootstrap_top_n_stable_both": int(((incl_a >= 0.5) & (incl_b >= 0.5)).sum()),
+        "bootstrap_top_n_inclusion_max_gap": float(np.abs(incl_a - incl_b).max()),
         "shortlist_size_a": len(shortlist_a),
         "shortlist_size_b": len(shortlist_b),
         "shortlist_symmetric_difference": len(shortlist_a ^ shortlist_b),

@@ -208,7 +208,7 @@ class AnalysisConfig:
     outputs: dict[str, Any] = field(default_factory=dict)
     progress_logging: dict[str, Any] = field(default_factory=dict)
     run_rng_diagnostics: bool = True
-    rng_lags: list[int] = field(default_factory=lambda: [1])
+    rng_lags: list[int] = field(default_factory=lambda: [1, 2, 3, 5, 10])
     rng_max_matchup_groups: int = 2000
     margin_thresholds: list[int] = field(default_factory=lambda: [50, 100, 250])
     rare_event_target: int = 10_000
