@@ -106,7 +106,13 @@ def _block_path(cfg: AppConfig, n: int, batch_id: int) -> Path:
     return cfg.n_players_dir(n) / "blocks" / f"block_{batch_id:06d}.npz"
 
 
-def save_block_aggregate(path: Path, acc: T.TournamentAccumulator, *, batch_id: int) -> None:
+def save_block_aggregate(
+    path: Path,
+    acc: T.TournamentAccumulator,
+    *,
+    batch_id: int,
+    coordinates: dict | None = None,
+) -> None:
     state = acc.state_dict()
     buf = io.BytesIO()
     np.savez_compressed(
@@ -116,18 +122,52 @@ def save_block_aggregate(path: Path, acc: T.TournamentAccumulator, *, batch_id: 
     )
     with atomic_path(path) as tmp:
         Path(tmp).write_bytes(buf.getvalue())
-    make_sidecar(path, producer="simulation", scope="by_k", metadata={"batch_id": batch_id})
+    make_sidecar(
+        path, producer="simulation", scope="by_k",
+        metadata={"batch_id": batch_id, **(coordinates or {})},
+    )
 
 
-def load_block_aggregate(path: Path) -> T.TournamentAccumulator:
-    validate_sidecar(path, expected_producer="simulation")
+def load_block_aggregate(
+    path: Path, *, expected_coordinates: dict | None = None
+) -> T.TournamentAccumulator:
+    """Load one persisted block, cross-checking its semantic coordinates.
+
+    Resume must never trust a block just because its bytes validate: the
+    reference re-derives every expected shuffle seed and cross-checks
+    manifests before accepting resume state (runner.py:536-745). Here the
+    equivalent is exact coordinate identity — the sidecar's recorded
+    (root_seed, k, shuffle range, plan shape) must match what the current
+    plan derives for this batch id, and the stored batch_id and conserved
+    game counts must agree.
+    """
+    meta = validate_sidecar(path, expected_producer="simulation").get("metadata", {})
     with np.load(path) as data:
         state = {k: data[k] for k in data.files if k != "batch_id"}
+        stored_batch = int(data["batch_id"])
     state["n_strategies"] = int(state["n_strategies"])
     state["games_attempted"] = int(state["games_attempted"])
     state["games_completed"] = int(state["games_completed"])
     state["games_safety_limit"] = int(state["games_safety_limit"])
-    return T.TournamentAccumulator.from_state_dict(state)
+    acc = T.TournamentAccumulator.from_state_dict(state)
+    if expected_coordinates is not None:
+        mismatches = {
+            key: (meta.get(key), expected)
+            for key, expected in expected_coordinates.items()
+            if meta.get(key) != expected
+        }
+        if stored_batch != expected_coordinates.get("batch_id", stored_batch):
+            mismatches["stored_batch_id"] = (stored_batch, expected_coordinates["batch_id"])
+        expected_games = (
+            expected_coordinates["shuffle_hi"] - expected_coordinates["shuffle_lo"]
+        ) * expected_coordinates["games_per_shuffle"]
+        if acc.games_attempted != expected_games:
+            mismatches["games_attempted"] = (acc.games_attempted, expected_games)
+        if mismatches:
+            raise ValueError(
+                f"block {path.name} does not match expected coordinates: {mismatches}"
+            )
+    return acc
 
 
 def _write_row_shard(
@@ -335,12 +375,26 @@ def run_cell(
     completed: list[int] = []
     resumed: list[int] = []
 
-    # resume: absorb previously persisted blocks
+    # resume: absorb previously persisted blocks, each validated against the
+    # coordinates the current plan derives for its batch id
+    def _expected_coords(batch_id: int) -> dict:
+        lo = batch_id * plan.shuffles_per_batch
+        return {
+            "batch_id": batch_id,
+            "root_seed": int(cfg.sim.seed),
+            "k": int(n),
+            "shuffle_lo": lo,
+            "shuffle_hi": lo + plan.shuffles_per_batch,
+            "games_per_shuffle": plan.games_per_shuffle,
+        }
+
     for batch_id in range(plan.batch_count):
         path = _block_path(cfg, n, batch_id)
         if path.exists():
             try:
-                acc = load_block_aggregate(path)
+                acc = load_block_aggregate(
+                    path, expected_coordinates=_expected_coords(batch_id)
+                )
                 total.merge(acc)
                 resumed.append(batch_id)
             except Exception as exc:
@@ -479,7 +533,10 @@ def run_cell(
             )
             return
         acc.check_conservation()
-        save_block_aggregate(_block_path(cfg, n, batch_id), acc, batch_id=batch_id)
+        save_block_aggregate(
+            _block_path(cfg, n, batch_id), acc, batch_id=batch_id,
+            coordinates=_expected_coords(batch_id),
+        )
         total.merge(acc)
         completed.append(batch_id)
         games_done += plan.shuffles_per_batch * plan.games_per_shuffle

@@ -291,3 +291,31 @@ def test_cli_surface(cfg, tmp_path):
     with pytest.raises(SystemExit, match="exactly 1"):
         cli._enforce_seed_list_length(one, "run")
     cli._enforce_seed_list_length(one, "two-seed-pipeline")
+
+
+def test_resume_rejects_foreign_block(cfg, caplog):
+    """A persisted block whose coordinates don't match the plan is replayed,
+    and a tampered block is rejected (corrupted-resume negative test)."""
+    import logging as _logging
+
+    out = R.run_simulation(cfg, progress=lambda m: None)
+    n = 2
+    block0 = cfg.n_players_dir(n) / "blocks" / "block_000000.npz"
+    assert block0.exists()
+
+    # tamper: swap in the block from a different batch id (wrong coordinates)
+    block1 = cfg.n_players_dir(n) / "blocks" / "block_000001.npz"
+    block0.write_bytes(block1.read_bytes())
+    import shutil
+
+    shutil.copy(str(block1) + ".sidecar.json", str(block0) + ".sidecar.json")
+    with caplog.at_level(_logging.WARNING):
+        out2 = R.run_simulation(cfg, progress=lambda m: None)
+    res = out2["results"][2]
+    assert 0 not in res.resumed_batches  # foreign block rejected -> replayed
+    assert any("unusable" in r.message for r in caplog.records)
+    # results identical to the clean run (exact replay)
+    t1 = out["results"][2].accumulator
+    t2 = res.accumulator
+    assert (t1.wins == t2.wins).all()
+    assert t1.metric_sq_sums.sum() == t2.metric_sq_sums.sum()
