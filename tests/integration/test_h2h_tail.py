@@ -209,3 +209,42 @@ def test_power_math_properties():
         sched.implemented_score_test_power(b, 0.6, 0.4, 0.05) >= 0.8
     )
     assert sched.implemented_score_test_power(b - 1, 0.6, 0.4, 0.05) < 0.8 or b == 1
+
+
+def test_injected_interruption_resume_identical(cfg):
+    """Toy-oracle interruption: wipe half the execution state mid-'crash',
+    delete the stage stamp, re-run -> bit-identical final order counts
+    (reference test_structure_toy_oracle.py injected-interruption analogue).
+    """
+    baseline = pq.read_table(sched.order_counts_path(cfg)).to_pandas()
+
+    # simulate a crash after only the first half of the blocks checkpointed
+    state = json.loads(sched.execution_state_path(cfg).read_text())
+    block_ids = sorted(state["blocks"])
+    kept = {bid: state["blocks"][bid] for bid in block_ids[: len(block_ids) // 2]}
+    state["blocks"] = kept
+    sched.execution_state_path(cfg).write_text(json.dumps(state))
+    stamp = cfg.h2h_dir() / "h2h_execute.done.json"
+    stamp.unlink()
+    sched.order_counts_path(cfg).unlink()
+
+    resumed = sched.execute_h2h_schedule(cfg)
+    for col in ("games_completed", "wins_seat1", "games_attempted", "games_safety_limit"):
+        np.testing.assert_array_equal(
+            resumed[col].to_numpy(), baseline[col].to_numpy(),
+            err_msg=f"column {col} diverged after injected interruption",
+        )
+
+
+def test_reporting_republishes_after_tamper(cfg):
+    """Deleting a final deliverable demotes the stamp; re-run re-publishes
+    and the v3 authenticated completion re-validates."""
+    from farkle_ii_tpu.utils import authenticated_contract as ac
+
+    report_json = report.report_json_path(cfg)
+    payload_before = json.loads(report_json.read_text())
+    report_json.unlink()
+    report.run(cfg)  # stamp resolves stale -> stage reruns
+    payload_after = json.loads(report_json.read_text())
+    assert payload_after == payload_before
+    ac.validate_authenticated_artifact(report_json)
