@@ -7,7 +7,13 @@ games/sec end-to-end on a 16-worker desktop for the full mega-config
 tournament. This benchmark plays the same workload shape — the default
 5,160-strategy grid, contiguously seated per on-device shuffle permutation,
 full rule set (smart discards, hot dice, final round, safety limits) — and
-reports steady-state completed-game throughput on the attached accelerator.
+reports steady-state completed-game throughput on the attached accelerator
+through the production block-scan dispatch path.
+
+Measurement notes (tests/FAILURE_NOTES.md): ``block_until_ready`` is a no-op
+on remote backends, so every step's result is fetched; the first executable
+timed in a fresh process runs 2-4x slower than steady state, so three
+warm-up dispatches precede timing.
 """
 
 from __future__ import annotations
@@ -17,6 +23,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from farkle_ii_tpu.simulation import strategies as S
 from farkle_ii_tpu.simulation import tournament as T
@@ -35,48 +42,62 @@ def main() -> None:
     )
     k = 5
     spec = T.TournamentSpec(root_seed=42, k=k, n_strategies=len(grid))
-    # shuffles per step: sized so one step is ~200k games on an accelerator
-    ns = 192 if platform != "cpu" else 2
-    games_per_step = ns * spec.games_per_shuffle
+
+    on_accel = platform != "cpu"
+    # candidate (n_chunks, shuffles_per_chunk) block shapes, largest first;
+    # some batch shapes have faulted the TPU runtime (FAILURE_NOTES), so the
+    # ladder falls back rather than producing no number
+    ladder = [(8, 64), (8, 16), (4, 16)] if on_accel else [(2, 2)]
 
     from farkle_ii_tpu.utils.aot_cache import cached_compile
 
-    import numpy as np
-
-    def build_step(ns_: int, compact: bool):
+    def build_block(n_chunks: int, ns: int, compact: bool):
+        sh0 = jnp.arange(n_chunks * ns, dtype=jnp.uint32).reshape(n_chunks, ns)
         compiled = cached_compile(
-            lambda params, sh: T.play_and_aggregate(spec, params, sh, compact=compact),
-            params,
-            jnp.arange(ns_, dtype=jnp.uint32),
-            extra_key=f"bench-k{k}-ns{ns_}" + ("" if compact else "-nocompact"),
+            lambda prm, sh: T.play_and_aggregate_block(spec, prm, sh, compact=compact),
+            params, sh0,
+            extra_key=f"bench-block-k{k}-{n_chunks}x{ns}" + ("" if compact else "-nc"),
         )
-        return lambda sh, _s=compiled: _s(params, sh)
+        return compiled
 
-    # warmup (forced fetch: block_until_ready is unreliable on remote
-    # backends — only a device_get provably completes the computation).
-    # Some large batch shapes have faulted the TPU runtime (FAILURE_NOTES);
-    # fall back to a smaller nocompact step rather than produce no number.
-    try:
-        step = build_step(ns, compact=True)
-        agg = step(jnp.arange(ns, dtype=jnp.uint32))
-        assert int(np.asarray(agg.games_attempted)) == games_per_step
-    except AssertionError:
-        raise
-    except Exception:
-        ns = 16 if platform != "cpu" else 2
-        games_per_step = ns * spec.games_per_shuffle
-        step = build_step(ns, compact=False)
-        agg = step(jnp.arange(ns, dtype=jnp.uint32))
-        assert int(np.asarray(agg.games_attempted)) == games_per_step
+    step = None
+    for (n_chunks, ns), compact in [(s, True) for s in ladder] + [
+        (s, False) for s in ladder
+    ]:
+        try:
+            candidate = build_block(n_chunks, ns, compact)
+            games_per_step = n_chunks * ns * spec.games_per_shuffle
 
-    # timed steady-state, dispatch pipelined, every result fetched
-    n_steps = 12 if platform != "cpu" else 2
+            def run(i, _c=candidate, _n=n_chunks * ns):
+                sh = jnp.arange(
+                    _n * i, _n * (i + 1), dtype=jnp.uint32
+                ).reshape(n_chunks, ns)
+                return _c(params, sh)
+
+            # warm-up (forced fetches)
+            for i in range(3 if on_accel else 1):
+                lo, hi = run(i)
+                total = T.unpack_block_aggregates(
+                    (np.asarray(lo), np.asarray(hi)), len(grid)
+                )
+                assert int(total.games_attempted) == games_per_step
+            step = run
+            break
+        except AssertionError:
+            raise
+        except Exception:
+            continue
+    if step is None:
+        raise RuntimeError("no benchmark shape survived the fault ladder")
+
+    # timed steady state: dispatches pipelined, every result fetched
+    n_steps = 8 if on_accel else 2
     start = time.perf_counter()
-    aggs = [
-        step(jnp.arange(ns * (i + 1), ns * (i + 2), dtype=jnp.uint32))
-        for i in range(n_steps)
-    ]
-    total_games = sum(int(np.asarray(a.games_attempted)) for a in aggs)
+    outs = [step(10 + i) for i in range(n_steps)]
+    total_games = 0
+    for lo, hi in outs:
+        agg = T.unpack_block_aggregates((np.asarray(lo), np.asarray(hi)), len(grid))
+        total_games += int(agg.games_attempted)
     elapsed = time.perf_counter() - start
 
     games_per_sec = total_games / elapsed
