@@ -51,8 +51,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from farkle_ii_tpu.ops.scoring import faces_to_counts_vec, score_counts_vec
-from farkle_ii_tpu.ops.threefry import roll_dice
+from farkle_ii_tpu.ops.scoring import counts_from_faces_flat, score_counts_flat
+from farkle_ii_tpu.ops.threefry import roll_dice_words
 
 ROLL_LIMIT = 1000
 DEFAULT_TARGET_SCORE = 10_000
@@ -241,6 +241,62 @@ def _smart_discards(
     return d5, d1
 
 
+def _must_bank_flat(score_after, dice_left_after, score_threshold, dice_threshold, flags):
+    """Flat-array bank predicate (same rule as :func:`_must_bank`)."""
+    consider_score = (flags & FLAG_CONSIDER_SCORE) != 0
+    consider_dice = (flags & FLAG_CONSIDER_DICE) != 0
+    require_both = (flags & FLAG_REQUIRE_BOTH) != 0
+    hit_score = consider_score & (score_after >= score_threshold)
+    hit_dice = consider_dice & (dice_left_after <= dice_threshold)
+    need_both = consider_score & consider_dice & require_both
+    return jnp.where(need_both, hit_score & hit_dice, hit_score | hit_dice)
+
+
+def _smart_discards_flat(
+    *, raw_score, raw_used, sfives, sones, roll_n, turn_score,
+    score_threshold, dice_threshold, flags,
+):
+    """Flat-array twin of :func:`_smart_discards`: nine candidates unrolled
+    as a running-best chain over (B,) arrays instead of a (B, 9) grid with a
+    cross-axis argmax — one fusable elementwise DAG, no lane-padded
+    intermediate. Selection is order-independent (candidate ranks are
+    provably unique), so the running strict-max matches argmax exactly.
+    """
+    smart_five = (flags & FLAG_SMART_FIVE) != 0
+    smart_one = (flags & FLAG_SMART_ONE) != 0
+    favor_score = (flags & FLAG_FAVOR_SCORE) != 0
+
+    enabled = smart_five & (raw_used != roll_n) & ((sfives > 0) | (sones > 0))
+    max_d1 = jnp.where(smart_one, sones, 0)
+
+    best_rank = jnp.full_like(raw_score, -1)
+    best_d5 = jnp.zeros_like(raw_score)
+    best_d1 = jnp.zeros_like(raw_score)
+    for d5c in range(3):
+        for d1c in range(3):
+            valid = (d5c <= sfives) & (d1c <= max_d1)
+            cand_score = raw_score - 50 * d5c - 100 * d1c
+            valid &= cand_score > 0
+            cand_used = raw_used - d5c - d1c
+            score_after = turn_score + cand_score
+            dice_left_after = roll_n - cand_used
+            valid &= ~_must_bank_flat(
+                score_after, dice_left_after, score_threshold, dice_threshold, flags
+            )
+            # same packed lexicographic rank as _smart_discards
+            rank = jnp.where(
+                favor_score,
+                score_after * 8 + dice_left_after,
+                dice_left_after * (1 << 22) + score_after,
+            )
+            take = valid & (rank > best_rank)
+            best_rank = jnp.where(take, rank, best_rank)
+            best_d5 = jnp.where(take, d5c, best_d5)
+            best_d1 = jnp.where(take, d1c, best_d1)
+    take = enabled & (best_rank >= 0)
+    return jnp.where(take, best_d5, 0), jnp.where(take, best_d1, 0)
+
+
 def make_game_step(
     *,
     k: int,
@@ -289,21 +345,30 @@ def make_game_step(
         flags = gather(fl_t)
 
         # ---- roll --------------------------------------------------------
+        # All-flat formulation: dice stay six separate (B,) words and every
+        # scoring/discard intermediate is (B,)-shaped, so the whole roll-step
+        # is one elementwise DAG — no (B, 6)/(B, 9) minor dimensions whose
+        # lane padding and cross-axis reductions split the fusion and
+        # multiply HBM passes over the loop carry.
         roll_n = state.dice_left
         roll_index = gather(state.n_rolls)
-        dice = roll_dice(k0, k1, roll_index, seat)  # (B, 6)
-        lane = jnp.arange(6, dtype=jnp.int32)[None, :]
-        faces = jnp.where(lane < roll_n[:, None], dice, 0)  # (B, 6)
+        words = roll_dice_words(
+            k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
+        )
+        faces = [
+            jnp.where(roll_n > i, (w % jnp.uint32(6)).astype(jnp.int32) + 1, 0)
+            for i, w in enumerate(words)
+        ]
 
         n_rolls = bump(state.n_rolls, 1, active)
         rolls_this_turn = jnp.where(active, state.rolls_this_turn + 1, state.rolls_this_turn)
 
         # ---- score (branchless, no table) ---------------------------------
-        counts = faces_to_counts_vec(faces)
-        raw_score, raw_used, sfives, sones = score_counts_vec(counts)
+        counts = counts_from_faces_flat(faces)
+        raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
 
         # ---- smart discards ------------------------------------------------
-        d5, d1 = _smart_discards(
+        d5, d1 = _smart_discards_flat(
             raw_score=raw_score, raw_used=raw_used, sfives=sfives, sones=sones,
             roll_n=roll_n, turn_score=state.turn_score,
             score_threshold=st, dice_threshold=dt, flags=flags,

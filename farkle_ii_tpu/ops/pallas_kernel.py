@@ -45,6 +45,7 @@ from farkle_ii_tpu.ops.game_kernel import (
     GameState,
     finalize,
 )
+from farkle_ii_tpu.ops.scoring import counts_from_faces_flat, score_counts_flat
 from farkle_ii_tpu.ops.threefry import roll_dice_words
 
 LANES = 128
@@ -61,9 +62,6 @@ _SEAT_SLOTS = (
     "smart_five_uses", "n_smart_five_dice", "smart_one_uses",
     "n_smart_one_dice", "n_hot_dice",
 )
-
-_TRIPLE_SCORES = (300, 200, 300, 400, 500, 600)
-
 
 def _slot_index(k: int) -> dict[str, int]:
     index: dict[str, int] = {}
@@ -139,39 +137,9 @@ def _game_step_tiled(
     nr = _commit_seat(nr, seat, active, roll_index.astype(jnp.int32) + 1)
     rolls_this_turn = jnp.where(active, state["rolls_this_turn"] + 1, state["rolls_this_turn"])
 
-    # ---- score (unrolled faces) ----------------------------------------
-    counts = [sum((f == face + 1).astype(jnp.int32) for f in faces) for face in range(6)]
-    n_total = roll_n
-    pairs = sum((c == 2).astype(jnp.int32) for c in counts)
-    trips = sum((c == 3).astype(jnp.int32) for c in counts)
-    is6 = n_total == 6
-    straight = is6
-    for c in counts:
-        straight &= c == 1
-    three_pairs = is6 & (pairs == 3)
-    two_triplets = is6 & (trips == 2)
-    four_any = jnp.zeros_like(n_total, dtype=bool)
-    for c in counts:
-        four_any |= c == 4
-    four_plus_pair = is6 & four_any & (pairs == 1)
-    special = straight | three_pairs | two_triplets | four_plus_pair
-    special_score = jnp.where(two_triplets, 2500, 1500)
-
-    set_score = jnp.zeros_like(n_total)
-    set_used = jnp.zeros_like(n_total)
-    for face, c in enumerate(counts):
-        face_score = jnp.where(
-            c == 3, _TRIPLE_SCORES[face],
-            jnp.where(c == 4, 1000, jnp.where(c == 5, 2000, jnp.where(c == 6, 3000, 0))),
-        )
-        set_score = set_score + face_score
-        set_used = set_used + jnp.where(c >= 3, c, 0)
-    lone_ones = jnp.where(counts[0] < 3, counts[0], 0)
-    lone_fives = jnp.where(counts[4] < 3, counts[4], 0)
-    raw_score = jnp.where(special, special_score, set_score + lone_ones * 100 + lone_fives * 50)
-    raw_used = jnp.where(special, 6, set_used + lone_ones + lone_fives)
-    sfives = jnp.where(special, 0, lone_fives)
-    sones = jnp.where(special, 0, lone_ones)
+    # ---- score (shared flat formulation, ops/scoring.py) ----------------
+    counts = counts_from_faces_flat(faces)
+    raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
 
     if debug_stage == 2:
         return _truncate(raw_score, raw_used, sfives, sones)

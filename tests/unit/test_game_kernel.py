@@ -144,3 +144,35 @@ def test_lockstep_low_target_final_round(diverse_pool):
     run_lockstep(
         k=4, n_games=16, seed=505, strategy_pool=diverse_pool, target_score=1_000
     )
+
+
+def test_smart_discards_flat_matches_grid():
+    """Running-best flat formulation == (B, 9) argmax formulation."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from farkle_ii_tpu.ops import game_kernel as gk
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    raw_used = rng.integers(0, 7, n).astype(np.int32)
+    roll_n = np.minimum(raw_used + rng.integers(0, 7 - raw_used.max(initial=0), n), 6).astype(np.int32)
+    roll_n = np.maximum(roll_n, raw_used)
+    sfives = np.minimum(rng.integers(0, 3, n), raw_used).astype(np.int32)
+    sones = np.minimum(rng.integers(0, 3, n), raw_used - sfives).astype(np.int32)
+    raw_score = (rng.integers(0, 60, n) * 50).astype(np.int32)
+    args = dict(
+        raw_score=jnp.asarray(raw_score),
+        raw_used=jnp.asarray(raw_used),
+        sfives=jnp.asarray(np.maximum(sfives, 0)),
+        sones=jnp.asarray(np.maximum(sones, 0)),
+        roll_n=jnp.asarray(roll_n),
+        turn_score=jnp.asarray((rng.integers(0, 40, n) * 50).astype(np.int32)),
+        score_threshold=jnp.asarray(rng.choice([200, 300, 500, 1000], n).astype(np.int32)),
+        dice_threshold=jnp.asarray(rng.integers(0, 5, n).astype(np.int32)),
+        flags=jnp.asarray(rng.integers(0, 256, n).astype(np.int32)),
+    )
+    grid_d5, grid_d1 = gk._smart_discards(**args)
+    flat_d5, flat_d1 = gk._smart_discards_flat(**args)
+    np.testing.assert_array_equal(np.asarray(grid_d5), np.asarray(flat_d5))
+    np.testing.assert_array_equal(np.asarray(grid_d1), np.asarray(flat_d1))
