@@ -34,11 +34,10 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.utils.artifacts import (
-    validate_sidecar,
+    iter_parquet_artifact_batches,
     write_parquet_artifact_atomic,
 )
 from farkle_ii_tpu.utils.stage_completion import (
@@ -311,10 +310,10 @@ class CellAccumulator:
 
 def _iter_row_batches(src: Path, columns: list[str] | None = None):
     """Stream a curated rows artifact in bounded-memory record batches."""
-    validate_sidecar(src, expected_producer="curate")
-    pf = pq.ParquetFile(src)
-    for batch in pf.iter_batches(batch_size=STREAM_BATCH_ROWS, columns=columns):
-        yield batch.to_pandas()
+    yield from iter_parquet_artifact_batches(
+        src, expected_producer="curate", columns=columns,
+        batch_rows=STREAM_BATCH_ROWS,
+    )
 
 
 def _rare_event_details(

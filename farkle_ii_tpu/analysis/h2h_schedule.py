@@ -420,6 +420,28 @@ def plan_h2h_schedule(cfg: AppConfig, *, force: bool = False) -> dict:
 # ── execution ────────────────────────────────────────────────────────────────
 
 
+@lru_cache(maxsize=16)
+def _h2h_compiled_step(batch: int, use_aot: bool):
+    """Compiled 2-player ``play_games`` for one batch size, memoized.
+
+    Without the memo every block group re-traced and re-deserialized the
+    same executable (~1 s per AOT cache hit), which dominated H2H execution
+    wall clock at production block counts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from farkle_ii_tpu.ops import game_kernel as gk
+
+    if not use_aot:
+        return jax.jit(gk.play_games)
+    from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+    kd = jnp.zeros((batch, 2), dtype=jnp.uint32)
+    ex = jnp.zeros((batch, 2), dtype=jnp.int32)
+    return cached_compile(gk.play_games, kd, ex, ex, ex, extra_key=f"h2h-b{batch}")
+
+
 def _play_block_window(
     cfg: AppConfig,
     blocks: pd.DataFrame,
@@ -486,16 +508,10 @@ def _play_block_window(
             fl = jnp.asarray(
                 np.stack([np.repeat(fl1, window), np.repeat(fl2, window)], axis=1)
             )
-            if getattr(cfg.tpu, "aot_cache", False):
-                from farkle_ii_tpu.utils.aot_cache import cached_compile
-
-                compiled = cached_compile(
-                    gk.play_games, key_data, st, dt, fl,
-                    extra_key=f"h2h-b{nb_pad}-w{window}",
-                )
-                out = compiled(key_data, st, dt, fl)
-            else:
-                out = jax.jit(gk.play_games)(key_data, st, dt, fl)
+            step = _h2h_compiled_step(
+                nb_pad * window, bool(getattr(cfg.tpu, "aot_cache", False))
+            )
+            out = step(key_data, st, dt, fl)
             completed = np.asarray(out.completed).reshape(nb_pad, window)[:nb]
             winner = np.asarray(out.winner_seat).reshape(nb_pad, window)[:nb]
             results[sel, :, 0] = completed.astype(np.int32)

@@ -30,8 +30,8 @@ from farkle_ii_tpu.analysis.trueskill_model import Rating, TrueSkillEnv
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.analysis import trueskill_model as TM
 from farkle_ii_tpu.utils.artifacts import (
+    iter_parquet_artifact_batches,
     method_contract,
-    read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
 from farkle_ii_tpu.utils.stage_completion import (
@@ -75,6 +75,73 @@ def _game_arrays(rows: pd.DataFrame, k: int):
     return strategies, ranks, batches
 
 
+def _iter_game_chunks(
+    src: Path, k: int, *, reverse: bool = False, batch_rows: int = 65536
+):
+    """Stream completed games from a curated rows artifact, bounded memory.
+
+    Yields ``(strategies, ranks, batch_ids)`` arrays per scanner batch in
+    coordinate order (or exact reverse order with ``reverse=True``). Curate
+    publishes rows coordinate-ordered (ingest concatenates manifest-ordered
+    shards); a violated order means a foreign or corrupted artifact and
+    fails loudly rather than silently rating out of order.
+    """
+    sign = -1 if reverse else 1
+    last: tuple[int, int] | None = None
+    for df in iter_parquet_artifact_batches(
+        src, expected_producer="curate", columns=_ts_columns(k),
+        reverse=reverse, batch_rows=batch_rows,
+    ):
+        if not len(df):
+            continue
+        first_coord = (
+            sign * int(df["shuffle_index"].iloc[0]),
+            sign * int(df["game_index"].iloc[0]),
+        )
+        if last is not None and first_coord < last:
+            raise ValueError(
+                f"{src} is not coordinate-ordered by (shuffle_index, "
+                "game_index); curated rows artifacts are published in "
+                "coordinate order"
+            )
+        last = (
+            sign * int(df["shuffle_index"].iloc[-1]),
+            sign * int(df["game_index"].iloc[-1]),
+        )
+        strategies, ranks, batches = _game_arrays(df, k)
+        if reverse:
+            strategies, ranks, batches = (
+                strategies[::-1], ranks[::-1], batches[::-1],
+            )
+        if len(batches):
+            yield strategies, ranks, batches
+
+
+def _iter_batch_groups(src: Path, k: int):
+    """Group the completed-game stream by deterministic batch id.
+
+    Yields ``(batch_id, strategies, ranks)`` with one entry per block, in
+    coordinate order; a block's games may span scanner batches, so partial
+    groups are buffered (one block is ~shuffles_per_batch x games_per_shuffle
+    games — bounded).
+    """
+    cur: int | None = None
+    strat_parts: list[np.ndarray] = []
+    rank_parts: list[np.ndarray] = []
+    for strategies, ranks, batches in _iter_game_chunks(src, k):
+        boundaries = np.flatnonzero(np.diff(batches)) + 1
+        for idx in np.split(np.arange(len(batches)), boundaries):
+            b = int(batches[idx[0]])
+            if cur is not None and b != cur:
+                yield cur, np.concatenate(strat_parts), np.concatenate(rank_parts)
+                strat_parts, rank_parts = [], []
+            cur = b
+            strat_parts.append(strategies[idx])
+            rank_parts.append(ranks[idx])
+    if cur is not None and strat_parts:
+        yield cur, np.concatenate(strat_parts), np.concatenate(rank_parts)
+
+
 def rate_games(
     env: TrueSkillEnv,
     strategies: np.ndarray,
@@ -112,41 +179,37 @@ def _block_ckpt_path(cfg: AppConfig, k: int, batch_id: int) -> Path:
 
 
 def run_cell(cfg: AppConfig, k: int, *, force: bool = False) -> pd.DataFrame:
-    """Rate one (root, k) cell with per-block resumable checkpoints."""
+    """Rate one (root, k) cell with per-block resumable checkpoints.
+
+    Curated rows stream in bounded-memory scanner batches (the reference
+    rates in streamed blocks, ``run_trueskill.py:700``); a block whose
+    checkpoint exists in the contiguous completed prefix is skipped by
+    loading its cumulative ratings instead of re-rating.
+    """
     env = TrueSkillEnv(
         beta=cfg.trueskill.beta,
         tau=cfg.trueskill.tau,
         draw_probability=cfg.trueskill.draw_probability,
     )
-    rows = read_parquet_artifact(
-        cfg.curated_rows_path(k), expected_producer="curate",
-        columns=_ts_columns(k),
-    ).to_pandas()
-    strategies, ranks, batches = _game_arrays(rows, k)
-    unique_batches = sorted(set(int(b) for b in batches))
-
     ratings: dict[int, Rating] = {}
-    start_index = 0
-    if not force:
-        # resume from the last contiguous completed block checkpoint
-        for i, b in enumerate(unique_batches):
-            path = _block_ckpt_path(cfg, k, b)
-            if not path.exists():
-                break
+    contiguous = not force
+    for b, strategies, ranks in _iter_batch_groups(cfg.curated_rows_path(k), k):
+        path = _block_ckpt_path(cfg, k, b)
+        if contiguous and path.exists():
             try:
                 state = json.loads(path.read_text())
                 ratings = {
                     int(s): Rating(v["mu"], v["sigma"])
                     for s, v in state["ratings"].items()
                 }
-                start_index = i + 1
+                continue
             except (json.JSONDecodeError, KeyError):
-                break
-    for b in unique_batches[start_index:]:
-        mask = batches == b
-        ratings = rate_games(env, strategies[mask], ranks[mask], ratings=ratings)
+                contiguous = False
+        else:
+            contiguous = False
+        ratings = rate_games(env, strategies, ranks, ratings=ratings)
         write_json_atomic(
-            _block_ckpt_path(cfg, k, b),
+            path,
             {
                 "k": k,
                 "batch_id": b,
@@ -160,16 +223,20 @@ def run_cell(cfg: AppConfig, k: int, *, force: bool = False) -> pd.DataFrame:
 
 
 def build_diagnostics(cfg: AppConfig, k: int, forward: pd.DataFrame) -> dict:
-    """Order-sensitivity + tau-zero + held-out calibration diagnostics."""
+    """Order-sensitivity + tau-zero + held-out calibration diagnostics.
+
+    Each refit streams the curated rows artifact instead of materializing
+    it; the reversed-order pass reads row groups last-to-first.
+    """
     env = TrueSkillEnv(beta=cfg.trueskill.beta, tau=cfg.trueskill.tau)
-    rows = read_parquet_artifact(
-        cfg.curated_rows_path(k), expected_producer="curate",
-        columns=_ts_columns(k),
-    ).to_pandas()
-    strategies, ranks, batches = _game_arrays(rows, k)
+    src = cfg.curated_rows_path(k)
 
     # reversed-order refit: rank correlation with the forward pass
-    reversed_ratings = rate_games(env, strategies[::-1], ranks[::-1])
+    reversed_ratings: dict[int, Rating] = {}
+    for strategies, ranks, _ in _iter_game_chunks(src, k, reverse=True):
+        reversed_ratings = rate_games(
+            env, strategies, ranks, ratings=reversed_ratings
+        )
     rev = _ratings_frame(reversed_ratings, cfg.sim.seed, k).set_index("strategy")
     fwd = forward.set_index("strategy")
     common = fwd.index.intersection(rev.index)
@@ -181,7 +248,11 @@ def build_diagnostics(cfg: AppConfig, k: int, forward: pd.DataFrame) -> dict:
 
     # tau-zero refit: max |mu shift|
     env0 = TrueSkillEnv(beta=cfg.trueskill.beta, tau=0.0)
-    zero_ratings = rate_games(env0, strategies, ranks)
+    zero_ratings: dict[int, Rating] = {}
+    games_rated = 0
+    for strategies, ranks, _ in _iter_game_chunks(src, k):
+        zero_ratings = rate_games(env0, strategies, ranks, ratings=zero_ratings)
+        games_rated += strategies.shape[0]
     zero = _ratings_frame(zero_ratings, cfg.sim.seed, k).set_index("strategy")
     max_shift = (
         float((fwd.loc[common, "mu"] - zero.loc[common, "mu"]).abs().max())
@@ -190,16 +261,25 @@ def build_diagnostics(cfg: AppConfig, k: int, forward: pd.DataFrame) -> dict:
     )
 
     # held-out predictive calibration: train on all but the last batch,
-    # predict winners of the last batch by max mu (ties -> no credit)
+    # predict winners of the last batch by max mu (ties -> no credit). The
+    # stream keeps one block buffered; when it ends, the buffer is the
+    # held-out block.
     heldout_accuracy = None
-    if len(set(batches.tolist())) >= 2:
-        last = max(set(batches.tolist()))
-        train = batches != last
-        test = ~train
-        train_ratings = rate_games(env, strategies[train], ranks[train])
+    train_ratings: dict[int, Rating] = {}
+    held: tuple[np.ndarray, np.ndarray] | None = None
+    n_groups = 0
+    for _, strategies, ranks in _iter_batch_groups(src, k):
+        n_groups += 1
+        if held is not None:
+            train_ratings = rate_games(
+                env, held[0], held[1], ratings=train_ratings
+            )
+        held = (strategies, ranks)
+    if n_groups >= 2 and held is not None:
+        strategies, ranks = held
         hits = 0
         total = 0
-        for g in np.flatnonzero(test):
+        for g in range(strategies.shape[0]):
             mus = np.array(
                 [
                     (train_ratings.get(int(s)) or env.create_rating()).mu
@@ -216,7 +296,7 @@ def build_diagnostics(cfg: AppConfig, k: int, forward: pd.DataFrame) -> dict:
         "k": k,
         "method_version": TRUESKILL_METHOD_VERSION,
         "conditioning": TRUESKILL_CONDITIONING,
-        "games_rated": int(strategies.shape[0]),
+        "games_rated": int(games_rated),
         "reversed_order_spearman": reversed_corr,
         "tau_zero_max_mu_shift": max_shift,
         "heldout_top1_accuracy": heldout_accuracy,
@@ -373,11 +453,8 @@ def run_root_pair(cfg: AppConfig, *, force: bool = False) -> None:
         for root_cfg in (cfg_a, cfg_b):
             src = root_cfg.curated_rows_path(k)
             inputs.append(src)
-            rows = read_parquet_artifact(
-                src, expected_producer="curate", columns=_ts_columns(k)
-            ).to_pandas()
-            strategies, ranks, _ = _game_arrays(rows, k)
-            ratings = rate_games(env, strategies, ranks, ratings=ratings)
+            for strategies, ranks, _ in _iter_game_chunks(src, k):
+                ratings = rate_games(env, strategies, ranks, ratings=ratings)
         frame = _ratings_frame(ratings, cfg.sim.seed, k)
         frames[k] = frame
         path = ratings_path(cfg, k)

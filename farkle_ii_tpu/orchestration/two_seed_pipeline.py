@@ -175,7 +175,25 @@ def run_pipeline(
         "run_lineage_sha": lineage,
     }
     try:
-        if cfg.orchestration.parallel_seeds:
+        parallel = cfg.orchestration.parallel_seeds
+        if parallel:
+            import jax
+
+            # two threads against one accelerator share a single JAX client
+            # with per-shape executable memoization; a worker fault in one
+            # thread poisons the client for both (tests/FAILURE_NOTES.md).
+            # The reference's analogue splits *process* pools per root
+            # (two_seed_pipeline.py:99-129), which has no shared-client
+            # hazard — so on a lone accelerator the roots run serially.
+            if jax.default_backend() != "cpu" and len(jax.devices()) < 2:
+                logger.warning(
+                    "orchestration.parallel_seeds disabled: a single %s "
+                    "device cannot isolate two concurrent root simulations "
+                    "(shared-client fault domain); running roots serially",
+                    jax.default_backend(),
+                )
+                parallel = False
+        if parallel:
             with ThreadPoolExecutor(max_workers=2) as pool:
                 futures = [
                     pool.submit(_run_one_seed, c, force=force, lineage=lineage)

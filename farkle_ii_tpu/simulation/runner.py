@@ -49,6 +49,7 @@ from farkle_ii_tpu.utils.artifacts import (
     validate_sidecar,
     write_parquet_artifact_atomic,
 )
+from farkle_ii_tpu.utils.fault_envelope import load_fault_envelope
 from farkle_ii_tpu.utils.stage_completion import write_stage_done
 from farkle_ii_tpu.utils.writer import atomic_path, write_json_atomic
 
@@ -334,14 +335,27 @@ def run_cell(
         jnp.asarray(p.flags),
     )
 
-    # device-batch sizing: sub-chunk each deterministic batch block
-    ns_device = min(
-        cfg.sim.shuffles_per_device_batch,
-        T.MAX_SHUFFLES_PER_BATCH,
-        plan.shuffles_per_batch,
-    )
     with_rows = cfg.sim.row_dir is not None
     compact = cfg.tpu.straggler_compaction
+
+    # device-batch sizing: sub-chunk each deterministic batch block. A probed
+    # fault-envelope artifact (tpu.fault_envelope_path) overrides the
+    # configured chunk size with the largest measured-fault-free shape for
+    # this k — chunk size never affects results (execution invariance), only
+    # device utilization and the fault risk.
+    ns_cap = min(T.MAX_SHUFFLES_PER_BATCH, plan.shuffles_per_batch)
+    ns_device = min(cfg.sim.shuffles_per_device_batch, ns_cap)
+    envelope = load_fault_envelope(
+        cfg.tpu.fault_envelope_path, n_strategies=len(strategies)
+    )
+    if envelope is not None:
+        probed = envelope.max_safe_ns(int(n), compact=compact, cap=ns_cap)
+        if probed is not None and probed != ns_device:
+            logger.info(
+                "k=%d: device chunk %d shuffles from the probed fault "
+                "envelope (configured %d)", n, probed, ns_device,
+            )
+            ns_device = probed
 
     # multi-chip: shard whole shuffles over the device mesh (the production
     # analogue of the reference's process-pool shuffle fan-out,

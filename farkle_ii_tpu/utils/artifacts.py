@@ -202,6 +202,39 @@ def write_parquet_artifact_atomic(
     )
 
 
+def iter_parquet_artifact_batches(
+    path: str | Path,
+    *,
+    expected_producer: str | None = None,
+    validate: bool = True,
+    columns: list[str] | None = None,
+    batch_rows: int = 65536,
+    reverse: bool = False,
+):
+    """Stream a parquet artifact in bounded-memory pandas batches.
+
+    The sidecar is validated once up front (it binds the whole file's
+    bytes). With ``reverse=True``, row groups are read last-to-first and
+    rows flipped within each, yielding the exact reverse row order of the
+    file — used by order-sensitivity diagnostics that must replay a
+    sequential pass backwards without materializing the table.
+
+    Reference parity: the reference streams 65k-row scanner batches
+    everywhere it reads curated rows (``analysis/game_stats.py:106``,
+    ``analysis/ingest.py``).
+    """
+    if validate:
+        validate_sidecar(path, expected_producer=expected_producer)
+    pf = pq.ParquetFile(path)
+    if reverse:
+        for i in range(pf.num_row_groups - 1, -1, -1):
+            tbl = pf.read_row_group(i, columns=columns)
+            yield tbl.to_pandas().iloc[::-1].reset_index(drop=True)
+    else:
+        for batch in pf.iter_batches(batch_size=batch_rows, columns=columns):
+            yield batch.to_pandas()
+
+
 def read_parquet_artifact(
     path: str | Path,
     *,

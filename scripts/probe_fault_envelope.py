@@ -31,6 +31,7 @@ import jax, jax.numpy as jnp
 import numpy as np
 from farkle_ii_tpu.simulation import strategies as S
 from farkle_ii_tpu.simulation import tournament as T
+from farkle_ii_tpu.simulation import runner as R
 
 k, ns, compact = {k}, {ns}, {compact}
 grid = S.build_strategy_grid()
@@ -38,9 +39,12 @@ p = S.pack_strategy_params(grid)
 params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
           jnp.asarray(p.flags))
 spec = T.TournamentSpec(root_seed=1234, k=k, n_strategies=len(grid))
-fn = jax.jit(lambda prm, sh: T.pack_aggregates(
-    T.play_and_aggregate(spec, prm, sh, compact=compact)))
-out = fn(params, jnp.arange(ns, dtype=jnp.uint32))
+# the production chunk compile (same AOT cache key the runner uses, so a
+# probe sweep also pre-warms the production executable cache); faults happen
+# at execution, never at compile, so the cache does not mask them
+step = R._compile_step(spec, params, ns, True, with_rows=False,
+                       compact=compact, pad_multiple=4096)
+out = step(params, jnp.arange(ns, dtype=jnp.uint32))
 acc = T.TournamentAccumulator(len(grid))
 acc.absorb(T.unpack_aggregates(np.asarray(out), len(grid)))
 acc.check_conservation()
@@ -99,10 +103,17 @@ def main() -> int:
 
     import jax
 
+    # the envelope is specific to (device, jax build, kernel code): record
+    # the code identity so a stale artifact is recognizable
+    sys.path.insert(0, str(repo))
+    from farkle_ii_tpu.utils.authenticated_contract import resolve_code_identity
+
     payload = {
         "envelope_version": 1,
         "platform": jax.devices()[0].platform,
         "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "jax_version": jax.__version__,
+        "code_identity": resolve_code_identity(repo).to_dict(),
         "n_strategies": 5160,
         "probes": probes,
         "ok_shapes": sorted(

@@ -81,3 +81,51 @@ def test_percentile_contribution(cfg):
     assert t["percentile_contribution"].between(0, 1).all()
     # best-rated strategy across both k should have a high contribution
     assert t["percentile_contribution"].max() > 0.8
+
+
+def test_streams_match_full_table(cfg):
+    """Streaming chunk iterators reproduce the full-table arrays exactly."""
+    import pyarrow.parquet as pq
+
+    src = cfg.curated_rows_path(2)
+    full = ts._game_arrays(
+        pq.read_table(src, columns=ts._ts_columns(2)).to_pandas(), 2
+    )
+    fwd = list(ts._iter_game_chunks(src, 2))
+    np.testing.assert_array_equal(np.concatenate([c[0] for c in fwd]), full[0])
+    np.testing.assert_array_equal(np.concatenate([c[1] for c in fwd]), full[1])
+    rev = list(ts._iter_game_chunks(src, 2, reverse=True))
+    np.testing.assert_array_equal(
+        np.concatenate([c[0] for c in rev]), full[0][::-1]
+    )
+    np.testing.assert_array_equal(
+        np.concatenate([c[1] for c in rev]), full[1][::-1]
+    )
+    # batch groups partition the stream by deterministic batch id
+    groups = list(ts._iter_batch_groups(src, 2))
+    assert [b for b, _, _ in groups] == sorted(set(full[2].tolist()))
+    np.testing.assert_array_equal(
+        np.concatenate([s for _, s, _ in groups]), full[0]
+    )
+
+
+def test_out_of_order_artifact_rejected(cfg, tmp_path):
+    """A curated artifact violating coordinate order fails loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from farkle_ii_tpu.utils.artifacts import make_sidecar
+
+    src = cfg.curated_rows_path(2)
+    df = pq.read_table(src, columns=ts._ts_columns(2)).to_pandas()
+    shuffled = df.sort_values("game_index", ascending=False, kind="mergesort")
+    bad = tmp_path / "rows_unordered.parquet"
+    # two row groups so the cross-batch order check can observe a violation
+    pq.write_table(
+        pa.Table.from_pandas(shuffled, preserve_index=False), bad,
+        row_group_size=max(len(shuffled) // 2, 1),
+    )
+    make_sidecar(bad, producer="curate")
+    with pytest.raises(ValueError, match="coordinate-ordered"):
+        for _ in ts._iter_game_chunks(bad, 2, batch_rows=8):
+            pass
