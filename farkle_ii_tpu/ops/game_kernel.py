@@ -9,7 +9,11 @@ whole batch advances through a single flattened *roll-step* loop:
   seats each; **per-seat quantities are K-tuples of flat ``(B,)`` arrays**
   (not ``(B, K)`` matrices: flat vectors measured ~1.7-2x higher effective
   HBM bandwidth in the loop carry, and the loop carry is the traffic floor
-  of the whole simulation);
+  of the whole simulation). A packed-carry variant (``PackedState``,
+  ``packed=True``: bounded control/counter fields share int32 words, ≈ -30%
+  carry bytes) measured ~5% *slower* on v5e — the fori-loop body's carry
+  traffic is already amortized by fusion, so the extra unpack/repack ALU
+  outweighs the bytes; kept as a tested alternate;
 * every iteration performs exactly one roll for the current seat of every
   still-active game: draw dice (two threefry hashes), score with branchless
   vector math, run the vectorized smart-discard scan, apply the
@@ -46,7 +50,7 @@ reference's "worker order is not a coordinate" rule.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -502,6 +506,314 @@ def make_game_step(
     return step
 
 
+# ── packed loop carry ────────────────────────────────────────────────────────
+# Alternate carry layout (``play_games(packed=True)``): bounded
+# control/counter fields share int32 words (≈ -30% carry bytes). Measured
+# ~5% slower than the flat carry on v5e (the fused loop body already
+# amortizes carry traffic; unpack/repack ALU dominates), so it is NOT the
+# production default — kept tested as the starting point if a future
+# backend shifts the balance. GameState stays the external interface;
+# PackedState exists only between pack_state/unpack_state inside play_games.
+#
+# Bit layouts (int32):
+#   ctrl:  dice_left 0-2 | seat 3-6 | rolls_this_turn 7-16 | round_num 17-25
+#          | final_round 26 | done 27 | trigger_seat+1 28-31
+#   tf[i]: n_turns 0-15 | n_farkles 16-31          (bounds <= max_rounds+2)
+#   hs:    has_scored bitmask 0..K-1 | roll_limit_hits 16-25
+#   param: (score_threshold+1) 0-15 | (dice_threshold+1) 16-19 | flags 20-27
+#          (thresholds biased by +1 so the grid's `min - 1` sentinels, which
+#          can be -1, stay in range; contract: -1 <= st <= 65534,
+#          -1 <= dt <= 14 — enforced host-side in pack_strategy_params)
+#
+# Eligibility (else play_games falls back to the unpacked step): k <= 12
+# (seat/trigger nibbles), max_rounds + 1 < 512, ROLL_LIMIT < 1024. Dropped
+# fields are derivable: safety == done & ~final_round at completion and
+# n_rounds == frozen round_num (both masked post-done), so unpack_state
+# reconstructs them exactly.
+
+
+class PackedState(NamedTuple):
+    """Internal packed twin of GameState (per-seat tuples of (B,) int32)."""
+
+    scores: tuple
+    n_rolls: tuple
+    highest_turn: tuple
+    smart_five_uses: tuple
+    n_smart_five_dice: tuple
+    smart_one_uses: tuple
+    n_smart_one_dice: tuple
+    n_hot_dice: tuple
+    tf: tuple  # n_turns | n_farkles << 16
+    ctrl: jax.Array
+    turn_score: jax.Array
+    score_to_beat: jax.Array
+    hs: jax.Array  # has_scored bits | roll_limit_hits << 16
+    step: jax.Array
+
+
+def packed_eligible(k: int, max_rounds: int) -> bool:
+    return k <= 12 and (max_rounds + 2) < (1 << 9) and ROLL_LIMIT < (1 << 10)
+
+
+def pack_params_word(st: jax.Array, dt: jax.Array, flags: jax.Array) -> jax.Array:
+    """One int32 per seat: biased thresholds + flags (layout above)."""
+    return (st + 1) | ((dt + 1) << 16) | (flags << 20)
+
+
+def pack_state(s: GameState, k: int) -> PackedState:
+    ctrl = (
+        s.dice_left
+        | (s.seat << 3)
+        | (s.rolls_this_turn << 7)
+        | (s.round_num << 17)
+        | (s.final_round.astype(jnp.int32) << 26)
+        | (s.done.astype(jnp.int32) << 27)
+        | ((s.trigger_seat + 1) << 28)
+    )
+    hs_bits = jnp.zeros_like(s.turn_score)
+    for i in range(k):
+        hs_bits = hs_bits | (s.has_scored[i].astype(jnp.int32) << i)
+    return PackedState(
+        scores=s.scores,
+        n_rolls=s.n_rolls,
+        highest_turn=s.highest_turn,
+        smart_five_uses=s.smart_five_uses,
+        n_smart_five_dice=s.n_smart_five_dice,
+        smart_one_uses=s.smart_one_uses,
+        n_smart_one_dice=s.n_smart_one_dice,
+        n_hot_dice=s.n_hot_dice,
+        tf=tuple(s.n_turns[i] | (s.n_farkles[i] << 16) for i in range(k)),
+        ctrl=ctrl,
+        turn_score=s.turn_score,
+        score_to_beat=s.score_to_beat,
+        hs=hs_bits | (s.roll_limit_hits << 16),
+        step=s.step,
+    )
+
+
+def unpack_state(p: PackedState, k: int) -> GameState:
+    ctrl = p.ctrl
+    done = ((ctrl >> 27) & 1) != 0
+    final_round = ((ctrl >> 26) & 1) != 0
+    round_num = (ctrl >> 17) & 511
+    return GameState(
+        scores=p.scores,
+        has_scored=tuple(((p.hs >> i) & 1) != 0 for i in range(k)),
+        n_turns=tuple(t & 0xFFFF for t in p.tf),
+        n_farkles=tuple((t >> 16) & 0xFFFF for t in p.tf),
+        n_rolls=p.n_rolls,
+        highest_turn=p.highest_turn,
+        smart_five_uses=p.smart_five_uses,
+        n_smart_five_dice=p.n_smart_five_dice,
+        smart_one_uses=p.smart_one_uses,
+        n_smart_one_dice=p.n_smart_one_dice,
+        n_hot_dice=p.n_hot_dice,
+        turn_score=p.turn_score,
+        dice_left=ctrl & 7,
+        seat=(ctrl >> 3) & 15,
+        round_num=round_num,
+        rolls_this_turn=(ctrl >> 7) & 1023,
+        final_round=final_round,
+        score_to_beat=p.score_to_beat,
+        trigger_seat=((ctrl >> 28) & 15) - 1,
+        done=done,
+        safety=done & ~final_round,
+        n_rounds=jnp.where(done, round_num, 0),
+        roll_limit_hits=(p.hs >> 16) & 1023,
+        step=p.step,
+    )
+
+
+def make_game_step_packed(
+    *,
+    k: int,
+    target_score: int = DEFAULT_TARGET_SCORE,
+    max_rounds: int = DEFAULT_MAX_ROUNDS,
+):
+    """Packed-carry twin of :func:`make_game_step` (same rule algebra)."""
+    if not packed_eligible(k, max_rounds):
+        raise ValueError(f"packed step ineligible for k={k}, max_rounds={max_rounds}")
+
+    def step(
+        s: PackedState,
+        k0: jax.Array,  # (B,) uint32 game threefry key word 0
+        k1: jax.Array,  # (B,) uint32 game threefry key word 1
+        pp_t: tuple,  # K x (B,) int32 packed per-seat param words
+    ) -> PackedState:
+        ctrl = s.ctrl
+        done_bit = (ctrl >> 27) & 1
+        active = done_bit == 0
+        seat = (ctrl >> 3) & 15
+        dice_left = ctrl & 7
+        round_num = (ctrl >> 17) & 511
+        final_round = ((ctrl >> 26) & 1) != 0
+        trigger_seat = ((ctrl >> 28) & 15) - 1
+        seat_is = tuple(seat == i for i in range(k))
+
+        def gather(tup):
+            out = tup[0]
+            for i in range(1, k):
+                out = jnp.where(seat_is[i], tup[i], out)
+            return out
+
+        def bump(tup, inc, mask):
+            return tuple(
+                jnp.where(mask & seat_is[i], tup[i] + inc, tup[i])
+                for i in range(k)
+            )
+
+        pw = gather(pp_t)
+        st = (pw & 0xFFFF) - 1
+        dt = ((pw >> 16) & 15) - 1
+        flags = (pw >> 20) & 255
+
+        # ---- roll (flat formulation; see make_game_step) -----------------
+        roll_n = dice_left
+        roll_index = gather(s.n_rolls)
+        words = roll_dice_words(
+            k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
+        )
+        faces = [
+            jnp.where(roll_n > i, (w % jnp.uint32(6)).astype(jnp.int32) + 1, 0)
+            for i, w in enumerate(words)
+        ]
+        n_rolls = bump(s.n_rolls, 1, active)
+        rolls_this_turn = ((ctrl >> 7) & 1023) + active.astype(jnp.int32)
+
+        counts = counts_from_faces_flat(faces)
+        raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
+
+        d5, d1 = _smart_discards_flat(
+            raw_score=raw_score, raw_used=raw_used, sfives=sfives, sones=sones,
+            roll_n=roll_n, turn_score=s.turn_score,
+            score_threshold=st, dice_threshold=dt, flags=flags,
+        )
+        final_score = raw_score - 50 * d5 - 100 * d1
+        final_used = raw_used - d5 - d1
+        reroll = roll_n - final_used
+
+        bust = raw_score == 0
+        tf = bump(s.tf, 1 << 16, active & bust)  # n_farkles in the high half
+        smart_five_uses = bump(s.smart_five_uses, 1, active & (d5 > 0))
+        n_smart_five_dice = bump(s.n_smart_five_dice, d5, active & (d5 > 0))
+        smart_one_uses = bump(s.smart_one_uses, 1, active & (d1 > 0))
+        n_smart_one_dice = bump(s.n_smart_one_dice, d1, active & (d1 > 0))
+
+        hot = ~bust & (final_used == roll_n)
+        next_dice = jnp.where(hot, 6, reroll)
+        turn_score_new = jnp.where(bust, 0, s.turn_score + final_score)
+
+        auto_hot = (flags & FLAG_AUTO_HOT_DICE) != 0
+        auto_hot_continue = ~bust & hot & auto_hot
+        n_hot_dice = bump(s.n_hot_dice, 1, active & auto_hot_continue)
+
+        # ---- continue / bank decision ------------------------------------
+        has_scored_seat = ((s.hs >> seat) & 1) != 0
+        banked = gather(s.scores)
+        running_total = banked + turn_score_new
+        run_up = (flags & FLAG_RUN_UP_SCORE) != 0
+        beat = s.score_to_beat
+        keep = _thresholds_continue(turn_score_new, next_dice, st, dt, flags)
+        keep |= ~has_scored_seat & (turn_score_new < 500)
+        keep |= final_round & (running_total <= beat)
+        keep &= ~(final_round & (running_total > beat) & ~run_up)
+        keep |= auto_hot_continue
+
+        hit_roll_limit = rolls_this_turn >= ROLL_LIMIT
+        turn_end = bust | ~keep | hit_roll_limit
+        rlh_inc = (active & hit_roll_limit & ~bust & keep).astype(jnp.int32)
+
+        # ---- turn-end bookkeeping ----------------------------------------
+        end = active & turn_end
+        entered = ~has_scored_seat & (turn_score_new >= 500)
+        has_scored_now = has_scored_seat | entered
+        bank_amount = jnp.where(end & has_scored_now, turn_score_new, 0)
+        bank_mask = end & has_scored_now
+        scores = bump(s.scores, bank_amount, bank_mask)
+        # has_scored bits OR in; roll_limit_hits is a counter in the high
+        # half, so it accumulates by addition (no carry crosses bit 16)
+        hs = (s.hs | (bank_mask.astype(jnp.int32) << seat)) + (rlh_inc << 16)
+        new_banked = banked + bank_amount
+        highest = jnp.maximum(
+            gather(s.highest_turn),
+            jnp.where(end & has_scored_now, turn_score_new, 0),
+        )
+        highest_turn = tuple(
+            jnp.where(end & seat_is[i], highest, s.highest_turn[i])
+            for i in range(k)
+        )
+
+        triggered = end & ~final_round & (new_banked >= target_score)
+        final_round_out = final_round | triggered
+        trigger_out = jnp.where(triggered, seat, trigger_seat)
+        beat = jnp.where(triggered, new_banked, beat)
+        final_bank = end & final_round & (seat != trigger_seat)
+        beat = jnp.where(final_bank, jnp.maximum(beat, new_banked), beat)
+
+        # ---- seat advance --------------------------------------------------
+        base_final = jnp.where(triggered, 0, seat + 1)
+        cand_final = base_final + (base_final == trigger_out).astype(jnp.int32)
+        finished_final = cand_final >= k
+        cand_normal = (seat + 1) % k
+        wrapped = cand_normal == 0
+        round_next = jnp.where(
+            end & ~final_round_out & wrapped, round_num + 1, round_num
+        )
+        hit_max_rounds = end & ~final_round_out & wrapped & (round_next > max_rounds)
+
+        next_seat = jnp.where(final_round_out, cand_final, cand_normal)
+        game_done = end & (
+            jnp.where(final_round_out, finished_final, hit_max_rounds)
+        )
+        done_out = done_bit | game_done.astype(jnp.int32)
+
+        # ---- next turn init / intra-turn continue -------------------------
+        continue_turn = active & ~turn_end
+        start_next = end & ~game_done
+        tf = tuple(
+            jnp.where(start_next & (next_seat == i), tf[i] + 1, tf[i])
+            for i in range(k)
+        )
+
+        seat_out = jnp.where(start_next, next_seat, seat)
+        dice_out = jnp.where(continue_turn, next_dice, 6)
+        turn_score_out = jnp.where(continue_turn, turn_score_new, 0)
+        rolls_out = jnp.where(continue_turn, rolls_this_turn, 0)
+
+        # at game_done the unpacked step records n_rounds = the PRE-increment
+        # round (a safety game that wraps past max_rounds reports
+        # max_rounds, not max_rounds + 1); freeze the stored round likewise
+        round_store = jnp.where(game_done, round_num, round_next)
+        ctrl_out = (
+            dice_out
+            | (seat_out << 3)
+            | (rolls_out << 7)
+            | (round_store << 17)
+            | (final_round_out.astype(jnp.int32) << 26)
+            | (done_out << 27)
+            | ((trigger_out + 1) << 28)
+        )
+
+        return PackedState(
+            scores=scores,
+            n_rolls=n_rolls,
+            highest_turn=highest_turn,
+            smart_five_uses=smart_five_uses,
+            n_smart_five_dice=n_smart_five_dice,
+            smart_one_uses=smart_one_uses,
+            n_smart_one_dice=n_smart_one_dice,
+            n_hot_dice=n_hot_dice,
+            tf=tf,
+            ctrl=ctrl_out,
+            turn_score=turn_score_out,
+            score_to_beat=beat,
+            hs=hs,
+            step=s.step + 1,
+        )
+
+    return step
+
+
 # compaction: below this batch size, straggler compaction isn't worth the
 # gather/scatter; above it, once the active count drops under B/ratio the
 # remaining games are gathered into a dense small batch
@@ -553,6 +865,7 @@ def play_games(
     max_rounds: int = DEFAULT_MAX_ROUNDS,
     compact: bool = True,
     pad_multiple: int | None = None,
+    packed: bool = False,
 ) -> GameResult:
     """Play a full batch of K-seat games to completion. Jit-compatible.
 
@@ -570,12 +883,27 @@ def play_games(
     """
     batch, k = score_thresholds.shape
     pad_multiple = _COMPACT_MIN_BATCH if pad_multiple is None else int(pad_multiple)
-    step = make_game_step(k=k, target_score=target_score, max_rounds=max_rounds)
+    use_packed = packed and packed_eligible(k, max_rounds)
+    if use_packed:
+        step = make_game_step_packed(
+            k=k, target_score=target_score, max_rounds=max_rounds
+        )
+    else:
+        step = make_game_step(k=k, target_score=target_score, max_rounds=max_rounds)
     # Absolute backstop: every turn ends within ROLL_LIMIT rolls and there are
     # at most (max_rounds * k + k) turns per game.
     max_steps = (max_rounds + 1) * k * (ROLL_LIMIT + 2)
 
     def split_ops(kd, st2, dt2, fl2):
+        if use_packed:
+            return (
+                kd[:, 0],
+                kd[:, 1],
+                tuple(
+                    pack_params_word(st2[:, i], dt2[:, i], fl2[:, i])
+                    for i in range(k)
+                ),
+            )
         return (
             kd[:, 0],
             kd[:, 1],
@@ -584,26 +912,43 @@ def play_games(
             tuple(fl2[:, i] for i in range(k)),
         )
 
+    def make_init(b: int):
+        s = init_state(b, k)
+        return pack_state(s, k) if use_packed else s
+
+    def done_of(s):
+        return (((s.ctrl >> 27) & 1) != 0) if use_packed else s.done
+
+    def mark_done_tail(s, lo: int):
+        if use_packed:
+            return s._replace(
+                ctrl=s.ctrl.at[lo:].set(s.ctrl[lo:] | (1 << 27))
+            )
+        return s._replace(done=s.done.at[lo:].set(True))
+
     def run_phase(state, ops, active_floor):
         floor = max(active_floor or 0, 0)
 
-        def cond(s: GameState):
-            return ((~s.done).sum() > floor) & (s.step < max_steps)
+        def cond(s):
+            return ((~done_of(s)).sum() > floor) & (s.step < max_steps)
 
-        def body(s: GameState):
+        def body(s):
             return jax.lax.fori_loop(
                 0, _COND_CHECK_EVERY, lambda i, s2: step(s2, *ops), s
             )
 
         return jax.lax.while_loop(cond, body, state)
 
+    def to_result(state) -> GameResult:
+        return finalize(unpack_state(state, k) if use_packed else state, k=k)
+
     if not compact or batch < pad_multiple:
         final = run_phase(
-            init_state(batch, k),
+            make_init(batch),
             split_ops(game_key_data, score_thresholds, dice_thresholds, flags),
             None,
         )
-        return finalize(final, k=k)
+        return to_result(final)
 
     # Pad the compacted path to a _COMPACT_MIN_BATCH multiple: irregular
     # batch sizes triggered hard TPU-runtime faults in the compaction
@@ -622,16 +967,16 @@ def play_games(
     st = pad_rows(score_thresholds)
     dt = pad_rows(dice_thresholds)
     fl = pad_rows(flags)
-    state = init_state(padded, k)
+    state = make_init(padded)
     if pad:
-        state = state._replace(done=state.done.at[batch:].set(True))
+        state = mark_done_tail(state, batch)
 
-    chain: list[tuple[GameState, jax.Array]] = []
+    chain: list[tuple[Any, jax.Array]] = []
     for ratio in _COMPACT_RATIOS:
         cap = padded // ratio
         state = run_phase(state, split_ops(kd, st, dt, fl), cap)
         # gather the (at most cap) unfinished games into a dense batch
-        take = _partition_indices(state.done)[:cap]
+        take = _partition_indices(done_of(state))[:cap]
         chain.append((state, take))
         state = _gather_state(state, take)
         kd = kd[take]
@@ -646,7 +991,7 @@ def play_games(
         state = jax.tree.map(
             lambda leaf: leaf if leaf.ndim == 0 else leaf[:batch], state
         )
-    return finalize(state, k=k)
+    return to_result(state)
 
 
 def finalize(state: GameState, *, k: int) -> GameResult:

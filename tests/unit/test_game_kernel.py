@@ -176,3 +176,62 @@ def test_smart_discards_flat_matches_grid():
     flat_d5, flat_d1 = gk._smart_discards_flat(**args)
     np.testing.assert_array_equal(np.asarray(grid_d5), np.asarray(flat_d5))
     np.testing.assert_array_equal(np.asarray(grid_d1), np.asarray(flat_d1))
+
+
+def test_packed_carry_matches_unpacked():
+    """PackedState loop == GameState loop, every GameResult field."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+
+    from farkle_ii_tpu.ops import game_kernel as gk, rng
+    from farkle_ii_tpu.simulation import strategies as S
+
+    k, B = 3, 512
+    grid = S.build_strategy_grid()
+    ids = np.random.default_rng(5).integers(0, len(grid), size=(B, k))
+    p = S.pack_strategy_params([grid[i] for i in ids.ravel()])
+    st = jnp.asarray(p.score_threshold).reshape(B, k)
+    dt = jnp.asarray(p.dice_threshold).reshape(B, k)
+    fl = jnp.asarray(p.flags).reshape(B, k)
+    base = rng.purpose_base_key(
+        rng.RandomPurpose.TOURNAMENT_PLAYER, root_seed=99, k=k, shuffle_index=3
+    )
+    kd = gk.game_key_data_for_games(base, jnp.arange(B))
+    a = jax.jit(lambda *x: gk.play_games(*x, packed=True, compact=False))(kd, st, dt, fl)
+    b = jax.jit(lambda *x: gk.play_games(*x, packed=False, compact=False))(kd, st, dt, fl)
+    for name in gk.GameResult._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)), err_msg=name
+        )
+
+
+def test_pack_unpack_state_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from farkle_ii_tpu.ops import game_kernel as gk
+
+    s = gk.init_state(64, 4)
+    # perturb fields to non-trivial in-range values
+    s = s._replace(
+        seat=jnp.full((64,), 2, jnp.int32),
+        dice_left=jnp.full((64,), 3, jnp.int32),
+        rolls_this_turn=jnp.full((64,), 999, jnp.int32),
+        round_num=jnp.full((64,), 200, jnp.int32),
+        final_round=jnp.ones((64,), bool),
+        trigger_seat=jnp.full((64,), 3, jnp.int32),
+        roll_limit_hits=jnp.full((64,), 7, jnp.int32),
+        has_scored=tuple(jnp.ones((64,), bool) for _ in range(4)),
+        n_turns=tuple(jnp.full((64,), 201, jnp.int32) for _ in range(4)),
+        n_farkles=tuple(jnp.full((64,), 77, jnp.int32) for _ in range(4)),
+    )
+    rt = gk.unpack_state(gk.pack_state(s, 4), 4)
+    for name in gk.GameState._fields:
+        if name in ("safety", "n_rounds"):
+            continue  # derived: defined only for done games
+        a, b = getattr(s, name), getattr(rt, name)
+        if isinstance(a, tuple):
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
