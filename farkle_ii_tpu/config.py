@@ -291,6 +291,12 @@ class TPUConfig:
     # optional probed-envelope artifact (scripts/probe_fault_envelope.py
     # output) recording which (k, chunk, compaction) shapes are fault-free
     fault_envelope_path: str | None = None
+    # straggler-compaction thresholds (active < B/ratio triggers a re-gather)
+    # and roll-steps between while-condition checks; tuned empirically with
+    # scripts/sweep_kernel_variants.py — execution-only knobs, can never
+    # change results
+    compact_ratios: list[int] = field(default_factory=lambda: [8, 64, 512])
+    cond_check_every: int = 8
 
 
 @dataclass

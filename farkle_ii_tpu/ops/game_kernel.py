@@ -273,25 +273,41 @@ def _smart_discards_flat(
     enabled = smart_five & (raw_used != roll_n) & ((sfives > 0) | (sones > 0))
     max_d1 = jnp.where(smart_one, sones, 0)
 
+    # candidate ranks differ from the (0,0) rank by compile-time constants
+    # (each discarded five shifts the packed rank by exactly -399 / each one
+    # by -799 under favor_score, and by (1<<22)-50 / (1<<22)-100 under
+    # favor_dice), so the per-candidate rank is one constant-select + add
+    # instead of re-deriving the packed key. The step is VPU-issue-bound;
+    # every op in this 9x chain counts.
+    consider_score = (flags & FLAG_CONSIDER_SCORE) != 0
+    consider_dice = (flags & FLAG_CONSIDER_DICE) != 0
+    need_both = consider_score & consider_dice & ((flags & FLAG_REQUIRE_BOTH) != 0)
+    base_sa = turn_score + raw_score
+    base_dl = roll_n - raw_used
+    rank_base = jnp.where(
+        favor_score, base_sa * 8 + base_dl, base_dl * (1 << 22) + base_sa
+    )
+
     best_rank = jnp.full_like(raw_score, -1)
     best_d5 = jnp.zeros_like(raw_score)
     best_d1 = jnp.zeros_like(raw_score)
     for d5c in range(3):
         for d1c in range(3):
+            score_delta = 50 * d5c + 100 * d1c
             valid = (d5c <= sfives) & (d1c <= max_d1)
-            cand_score = raw_score - 50 * d5c - 100 * d1c
-            valid &= cand_score > 0
-            cand_used = raw_used - d5c - d1c
-            score_after = turn_score + cand_score
-            dice_left_after = roll_n - cand_used
-            valid &= ~_must_bank_flat(
-                score_after, dice_left_after, score_threshold, dice_threshold, flags
-            )
-            # same packed lexicographic rank as _smart_discards
-            rank = jnp.where(
-                favor_score,
-                score_after * 8 + dice_left_after,
-                dice_left_after * (1 << 22) + score_after,
+            valid &= raw_score > score_delta
+            score_after = base_sa - score_delta
+            dice_left_after = base_dl + (d5c + d1c)
+            hit_score = consider_score & (score_after >= score_threshold)
+            hit_dice = consider_dice & (dice_left_after <= dice_threshold)
+            bank = jnp.where(need_both, hit_score & hit_dice, hit_score | hit_dice)
+            valid &= ~bank
+            off_fs = -399 * d5c - 799 * d1c
+            off_fd = ((1 << 22) - 50) * d5c + ((1 << 22) - 100) * d1c
+            rank = (
+                rank_base
+                if d5c == d1c == 0
+                else rank_base + jnp.where(favor_score, off_fs, off_fd)
             )
             take = valid & (rank > best_rank)
             best_rank = jnp.where(take, rank, best_rank)
@@ -359,16 +375,20 @@ def make_game_step(
         words = roll_dice_words(
             k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
         )
-        faces = [
-            jnp.where(roll_n > i, (w % jnp.uint32(6)).astype(jnp.int32) + 1, 0)
-            for i, w in enumerate(words)
-        ]
 
         n_rolls = bump(state.n_rolls, 1, active)
         rolls_this_turn = jnp.where(active, state.rolls_this_turn + 1, state.rolls_this_turn)
 
         # ---- score (branchless, no table) ---------------------------------
-        counts = counts_from_faces_flat(faces)
+        # Nibble-packed face counts: each active die contributes 1 << 4*face
+        # to one accumulator word (counts <= 6 < 16 per face, no nibble
+        # carries), replacing the 36-compare face/count matrix with ~1/3 the
+        # vector ops. The step is VPU-issue-bound, so op count is the cost.
+        acc = jnp.zeros_like(roll_n)
+        for i, w in enumerate(words):
+            face = (w % jnp.uint32(6)).astype(jnp.int32)  # 0..5
+            acc = acc + jnp.where(roll_n > i, jnp.int32(1) << (face * 4), 0)
+        counts = [(acc >> (4 * f)) & 15 for f in range(6)]
         raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
 
         # ---- smart discards ------------------------------------------------
@@ -866,6 +886,8 @@ def play_games(
     compact: bool = True,
     pad_multiple: int | None = None,
     packed: bool = False,
+    compact_ratios: tuple = _COMPACT_RATIOS,
+    cond_check_every: int = _COND_CHECK_EVERY,
 ) -> GameResult:
     """Play a full batch of K-seat games to completion. Jit-compatible.
 
@@ -934,7 +956,7 @@ def play_games(
 
         def body(s):
             return jax.lax.fori_loop(
-                0, _COND_CHECK_EVERY, lambda i, s2: step(s2, *ops), s
+                0, cond_check_every, lambda i, s2: step(s2, *ops), s
             )
 
         return jax.lax.while_loop(cond, body, state)
@@ -972,7 +994,7 @@ def play_games(
         state = mark_done_tail(state, batch)
 
     chain: list[tuple[Any, jax.Array]] = []
-    for ratio in _COMPACT_RATIOS:
+    for ratio in compact_ratios:
         cap = padded // ratio
         state = run_phase(state, split_ops(kd, st, dt, fl), cap)
         # gather the (at most cap) unfinished games into a dense batch

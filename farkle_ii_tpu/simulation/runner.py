@@ -260,6 +260,7 @@ class CellRunResult:
 def _compile_step(
     spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool, *,
     with_rows: bool = False, compact: bool = True, pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -274,12 +275,16 @@ def _compile_step(
             )
             return T.pack_aggregates(agg), result, seat_ids
 
+        if game_kwargs:
+            raise ValueError("game_kwargs unsupported on the row-export path")
+
     else:
 
         def fn(params, sh):
             return T.pack_aggregates(
                 T.play_and_aggregate(
-                    spec, params, sh, compact=compact, pad_multiple=pad_multiple
+                    spec, params, sh, compact=compact, pad_multiple=pad_multiple,
+                    game_kwargs=game_kwargs,
                 )
             )
 
@@ -380,9 +385,19 @@ def run_cell(
         )
 
     pad_multiple = int(cfg.tpu.compact_pad_multiple)
+    # execution-only kernel tuning (sweep-derived; cannot change results).
+    # The row-export path keeps kernel defaults: its step signature differs
+    # and the tuning target is the aggregate-only production route.
+    game_kwargs: dict | None = None
+    ratios = tuple(int(r) for r in cfg.tpu.compact_ratios)
+    cadence = int(cfg.tpu.cond_check_every)
+    if (ratios, cadence) != ((8, 64, 512), 8):
+        game_kwargs = {"compact_ratios": ratios, "cond_check_every": cadence}
+    agg_kwargs = None if with_rows else game_kwargs
     step = _compile_step(
         spec, params, ns_device, cfg.tpu.aot_cache,
         with_rows=with_rows, compact=compact, pad_multiple=pad_multiple,
+        game_kwargs=agg_kwargs,
     )
 
     total = T.TournamentAccumulator(len(strategies))
@@ -439,6 +454,7 @@ def run_cell(
                 step_cache[key] = _compile_step(
                     spec, params, size, cfg.tpu.aot_cache,
                     with_rows=with_rows, compact=compact_, pad_multiple=pad_multiple,
+                    game_kwargs=agg_kwargs,
                 )
         return step_cache[key]
 
@@ -456,7 +472,8 @@ def run_cell(
 
                 step_cache[key] = cached_compile(
                     lambda p, sh: T.play_and_aggregate_block(
-                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple
+                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
+                        game_kwargs=agg_kwargs,
                     ),
                     params,
                     jnp.zeros((n_chunks, span), dtype=jnp.uint32),
@@ -467,7 +484,8 @@ def run_cell(
             else:
                 step_cache[key] = jax.jit(
                     lambda p, sh: T.play_and_aggregate_block(
-                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple
+                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
+                        game_kwargs=agg_kwargs,
                     )
                 )
         return step_cache[key]

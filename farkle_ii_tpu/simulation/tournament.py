@@ -168,6 +168,7 @@ def play_shuffles(
     *,
     compact: bool = True,
     pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
 ) -> tuple[gk.GameResult, jax.Array]:
     """Play every game of a batch of shuffles. Jit-compatible.
 
@@ -209,6 +210,7 @@ def play_shuffles(
         max_rounds=spec.max_rounds,
         compact=compact,
         pad_multiple=pad_multiple,
+        **(game_kwargs or {}),
     )
     return result, flat_ids
 
@@ -366,10 +368,12 @@ def play_and_aggregate(
     *,
     compact: bool = True,
     pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
 ) -> TournamentAggregates:
     """Fused play + reduce for one shuffle batch (the jit unit)."""
     result, seat_ids = play_shuffles(
-        spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple
+        spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple,
+        game_kwargs=game_kwargs,
     )
     return aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
 
@@ -381,6 +385,7 @@ def play_and_aggregate_block(
     *,
     compact: bool = True,
     pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Scan a whole deterministic block of chunks on device: one dispatch.
 
@@ -404,7 +409,10 @@ def play_and_aggregate_block(
     def body(carry, sh):
         lo, hi = carry
         packed = pack_aggregates(
-            play_and_aggregate(spec, params, sh, compact=compact, pad_multiple=pad_multiple)
+            play_and_aggregate(
+                spec, params, sh, compact=compact, pad_multiple=pad_multiple,
+                game_kwargs=game_kwargs,
+            )
         )
         return (lo + (packed & 0xFFFF), hi + (packed >> 16)), None
 
