@@ -319,3 +319,43 @@ def test_resume_rejects_foreign_block(cfg, caplog):
     t2 = res.accumulator
     assert (t1.wins == t2.wins).all()
     assert t1.metric_sq_sums.sum() == t2.metric_sq_sums.sum()
+
+
+def test_probed_envelope_overrides_chunk_size(cfg, tmp_path, caplog):
+    """The runner sizes device chunks from a probed fault-envelope artifact
+    and produces identical results (chunking is execution-only)."""
+    import logging
+
+    baseline = R.run_simulation(cfg, progress=lambda m: None)
+    base_t = pq.read_table(cfg.checkpoint_path(2)).to_pandas()
+
+    env_path = tmp_path / "envelope.json"
+    env_path.write_text(json.dumps({
+        "envelope_version": 1,
+        "n_strategies": 24,
+        # plan is 2 shuffles/batch; only ns=1 is "probed safe" for k=2, so
+        # the runner must drop from the configured 4 to 1
+        "ok_shapes": [[2, 1, True]],
+    }))
+    cfg2 = C.AppConfig()
+    cfg2.data_dir = str(tmp_path / "env_run")
+    for attr in ("seed", "n_players_list", "expanded_metrics", "score_thresholds",
+                 "dice_thresholds", "smart_one_opts", "run_up_score_opts",
+                 "shuffles_per_device_batch"):
+        setattr(cfg2.sim, attr, getattr(cfg.sim, attr))
+    cfg2.screening.resolution_delta = cfg.screening.resolution_delta
+    cfg2.batching.target_batches = cfg.batching.target_batches
+    cfg2.batching.min_shuffles_per_batch = cfg.batching.min_shuffles_per_batch
+    cfg2.tpu.aot_cache = False
+    cfg2.tpu.fault_envelope_path = str(env_path)
+    C.assign_config_sha(cfg2)
+
+    with caplog.at_level(logging.INFO, logger="farkle_ii_tpu.simulation.runner"):
+        out = R.run_simulation(cfg2, progress=lambda m: None)
+    assert out["n_strategies"] == baseline["n_strategies"]
+    assert any("probed fault" in rec.message for rec in caplog.records)
+
+    # bit-identical per-strategy summary despite the different chunk size
+    env_t = pq.read_table(cfg2.checkpoint_path(2)).to_pandas()
+    for col in ("wins", "attempted_exposures", "win_rate_per_attempt"):
+        np.testing.assert_array_equal(base_t[col].to_numpy(), env_t[col].to_numpy())

@@ -129,3 +129,20 @@ def test_out_of_order_artifact_rejected(cfg, tmp_path):
     with pytest.raises(ValueError, match="coordinate-ordered"):
         for _ in ts._iter_game_chunks(bad, 2, batch_rows=8):
             pass
+
+
+def test_corrupted_middle_checkpoint_rerates(cfg):
+    """A corrupt block checkpoint breaks the contiguous-resume prefix: the
+    stream re-rates from that block and converges to the fresh result."""
+    fresh = ts.run_cell(cfg, 2, force=True)
+    blocks = sorted((cfg.trueskill_dir() / "blocks").glob("ts_2p_block_*.json"))
+    assert len(blocks) >= 2
+    blocks[1].write_text("{not json")
+    resumed = ts.run_cell(cfg, 2)
+    np.testing.assert_allclose(fresh["mu"], resumed["mu"])
+    np.testing.assert_allclose(fresh["sigma"], resumed["sigma"])
+    # the corrupt checkpoint was rewritten valid
+    import json as _json
+
+    state = _json.loads(blocks[1].read_text())
+    assert state["method_version"] == ts.TRUESKILL_METHOD_VERSION
