@@ -875,6 +875,31 @@ def _partition_indices(done: jax.Array) -> jax.Array:
     )
 
 
+def _take_indices(done: jax.Array, cap: int, impl: str) -> jax.Array:
+    """Indices of (at most ``cap``) unfinished lanes, padded arbitrarily.
+
+    Padding slots may point at *any* lane — even an unfinished one already
+    taken: a duplicated unfinished game plays identically in the compact
+    batch (dice streams are pure functions of coordinates) and the
+    scatter-back writes identical values, so results are unchanged by
+    construction. That freedom admits implementations without the 1-D
+    scatter of :func:`_partition_indices`, which XLA:TPU lowers to a device
+    sort (measured tens of ms at B ~ 10^5 per compaction boundary).
+    """
+    if impl == "partition":
+        return _partition_indices(done)[:cap]
+    undone = ~done
+    if impl == "nonzero":
+        return jnp.nonzero(undone, size=cap, fill_value=0)[0].astype(jnp.int32)
+    if impl == "searchsorted":
+        cum = jnp.cumsum(undone.astype(jnp.int32))
+        idx = jnp.searchsorted(
+            cum, jnp.arange(1, cap + 1, dtype=jnp.int32), side="left"
+        )
+        return jnp.minimum(idx, done.shape[0] - 1).astype(jnp.int32)
+    raise ValueError(f"unknown compact_take_impl {impl!r}")
+
+
 def play_games(
     game_key_data: jax.Array,  # (B, 2) uint32
     score_thresholds: jax.Array,  # (B, K) int32
@@ -888,6 +913,7 @@ def play_games(
     packed: bool = False,
     compact_ratios: tuple = _COMPACT_RATIOS,
     cond_check_every: int = _COND_CHECK_EVERY,
+    compact_take_impl: str = "partition",
 ) -> GameResult:
     """Play a full batch of K-seat games to completion. Jit-compatible.
 
@@ -998,7 +1024,7 @@ def play_games(
         cap = padded // ratio
         state = run_phase(state, split_ops(kd, st, dt, fl), cap)
         # gather the (at most cap) unfinished games into a dense batch
-        take = _partition_indices(done_of(state))[:cap]
+        take = _take_indices(done_of(state), cap, compact_take_impl)
         chain.append((state, take))
         state = _gather_state(state, take)
         kd = kd[take]

@@ -46,11 +46,12 @@ def main() -> int:
     games_per_chunk = args.ns * spec.games_per_shuffle
 
     variants = {
-        "base_r8-64-512_c8": dict(compact_ratios=(8, 64, 512), cond_check_every=8),
-        "r8-64_c8": dict(compact_ratios=(8, 64), cond_check_every=8),
-        "r8_c8": dict(compact_ratios=(8,), cond_check_every=8),
-        "r16-256_c8": dict(compact_ratios=(16, 256), cond_check_every=8),
-        "base_c4": dict(compact_ratios=(8, 64, 512), cond_check_every=4),
+        "base_partition": dict(compact_take_impl="partition"),
+        "take_nonzero": dict(compact_take_impl="nonzero"),
+        "take_searchsorted": dict(compact_take_impl="searchsorted"),
+        "nonzero_r4-32-256": dict(
+            compact_take_impl="nonzero", compact_ratios=(4, 32, 256)
+        ),
     }
 
     compiled = {}
