@@ -12,6 +12,8 @@ initialization.
 
 import os
 
+import pytest
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -23,3 +25,40 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--update-goldens", action="store_true", default=False,
+        help="rewrite golden files from current outputs instead of comparing",
+    )
+
+
+@pytest.fixture()
+def golden(request):
+    """Golden-file comparator (reference tests/helpers/golden_utils.py analogue).
+
+    Usage: ``golden("name", payload_dict)`` — compares against
+    tests/data/golden/<name>.json, or rewrites it under --update-goldens.
+    """
+    import json
+    from pathlib import Path
+
+    update = request.config.getoption("--update-goldens")
+    root = Path(__file__).parent / "data" / "golden"
+
+    def check(name: str, payload):
+        path = root / f"{name}.json"
+        text = json.dumps(payload, indent=2, sort_keys=True)
+        if update or not path.exists():
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(text)
+            if update:
+                return
+            raise AssertionError(
+                f"golden {name} did not exist; wrote it — rerun to compare"
+            )
+        expected = json.loads(path.read_text())
+        assert payload == expected, f"golden {name} mismatch (see {path})"
+
+    return check

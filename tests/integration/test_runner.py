@@ -359,3 +359,24 @@ def test_probed_envelope_overrides_chunk_size(cfg, tmp_path, caplog):
     env_t = pq.read_table(cfg2.checkpoint_path(2)).to_pandas()
     for col in ("wins", "attempted_exposures", "win_rate_per_attempt"):
         np.testing.assert_array_equal(base_t[col].to_numpy(), env_t[col].to_numpy())
+
+
+def test_simulation_golden_values(cfg, golden):
+    """Pin exact per-strategy outcomes of the deterministic tiny run.
+
+    All RNG streams are pure functions of coordinates, so these values are
+    bit-stable across machines, chunkings, and resumes; any change means the
+    statistical engine changed and must be a deliberate version bump
+    (refresh with --update-goldens).
+    """
+    R.run_simulation(cfg, progress=lambda m: None)
+    t = pq.read_table(cfg.checkpoint_path(2)).to_pandas().sort_values("strategy_id")
+    m = pq.read_table(cfg.metrics_path(2)).to_pandas().sort_values("strategy_id")
+    golden("simulation_seed11_k2", {
+        "wins": t["wins"].astype(int).tolist(),
+        "attempted_exposures": t["attempted_exposures"].astype(int).tolist(),
+        "safety_limit_exposures": t["safety_limit_exposures"].astype(int).tolist(),
+        "winning_score_sum": m["winning_score_sum"].astype(int).tolist(),
+        "winning_score_sq_sum": m["winning_score_sq_sum"].astype(int).tolist(),
+        "n_rounds_sum": m["n_rounds_sum"].astype(int).tolist(),
+    })
