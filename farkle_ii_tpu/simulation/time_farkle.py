@@ -41,22 +41,25 @@ def measure_sim_times(cfg, *, n_games: int = 8192, k: int = 5) -> dict[str, floa
 
     run = jax.jit(gk.play_games)
 
+    def fetch(r):
+        # block_until_ready is a no-op on the axon remote backend
+        # (tests/FAILURE_NOTES.md): only a device_get provably completes
+        return int(np.asarray(r.completed).sum())
+
     # single game latency (batch of 1)
     t0 = time.perf_counter()
-    r1 = run(kd[:1], st[:1], dt[:1], fl[:1])
-    jax.block_until_ready(r1)
+    fetch(run(kd[:1], st[:1], dt[:1], fl[:1]))
     single_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    r1 = run(kd[:1], st[:1], dt[:1], fl[:1])
-    jax.block_until_ready(r1)
+    fetch(run(kd[:1], st[:1], dt[:1], fl[:1]))
     single_warm = time.perf_counter() - t0
 
-    # batch throughput
-    res = run(kd, st, dt, fl)
-    jax.block_until_ready(res)
+    # batch throughput (three warm-ups: the first-timed executable in a
+    # fresh process runs 2-4x slower than steady state)
+    for _ in range(3):
+        fetch(run(kd, st, dt, fl))
     t0 = time.perf_counter()
-    res = run(kd, st, dt, fl)
-    jax.block_until_ready(res)
+    fetch(run(kd, st, dt, fl))
     batch_s = time.perf_counter() - t0
     gps = n_games / batch_s
 
