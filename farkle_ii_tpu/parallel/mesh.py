@@ -96,7 +96,7 @@ def sharded_play_and_aggregate(spec: TournamentSpec, mesh: Mesh):
 
 def sharded_block_step(
     spec: TournamentSpec, mesh: Mesh, *, compact: bool = True,
-    pad_multiple: int | None = None,
+    pad_multiple: int | None = None, game_kwargs: dict | None = None,
 ):
     """Multi-chip block execution: device-local chunk scan + one psum.
 
@@ -116,7 +116,7 @@ def sharded_block_step(
     def run(st, dt, fl, shuffles_local):
         lo, hi = play_and_aggregate_block(
             spec, (st, dt, fl), shuffles_local, compact=compact,
-            pad_multiple=pad_multiple,
+            pad_multiple=pad_multiple, game_kwargs=game_kwargs,
         )
         # limbs stay exact under psum: per-device partials are < 2**31 / n_dev
         # for any realistic block, and addition commutes with recombination
@@ -137,7 +137,7 @@ def sharded_block_step(
 
 def sharded_packed_step(
     spec: TournamentSpec, mesh: Mesh, *, compact: bool = True,
-    pad_multiple: int | None = None,
+    pad_multiple: int | None = None, game_kwargs: dict | None = None,
 ):
     """Production multi-chip tournament step: packed aggregates over ICI.
 
@@ -162,7 +162,7 @@ def sharded_packed_step(
     def run(st, dt, fl, shuffles_local):
         agg = play_and_aggregate(
             spec, (st, dt, fl), shuffles_local, compact=compact,
-            pad_multiple=pad_multiple,
+            pad_multiple=pad_multiple, game_kwargs=game_kwargs,
         )
         return jax.lax.psum(pack_aggregates(agg), SHUFFLE_AXIS)
 

@@ -448,7 +448,8 @@ def run_cell(
                 from farkle_ii_tpu.parallel.mesh import sharded_packed_step
 
                 step_cache[key] = sharded_packed_step(
-                    spec, mesh, compact=compact_, pad_multiple=pad_multiple
+                    spec, mesh, compact=compact_, pad_multiple=pad_multiple,
+                    game_kwargs=agg_kwargs,
                 )
             else:
                 step_cache[key] = _compile_step(
@@ -465,7 +466,8 @@ def run_cell(
                 from farkle_ii_tpu.parallel.mesh import sharded_block_step
 
                 step_cache[key] = sharded_block_step(
-                    spec, mesh, compact=compact_, pad_multiple=pad_multiple
+                    spec, mesh, compact=compact_, pad_multiple=pad_multiple,
+                    game_kwargs=agg_kwargs,
                 )
             elif cfg.tpu.aot_cache:
                 from farkle_ii_tpu.utils.aot_cache import cached_compile
