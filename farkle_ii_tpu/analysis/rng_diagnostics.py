@@ -131,19 +131,26 @@ def run_for_k(cfg: AppConfig, k: int) -> pd.DataFrame:
     lags = sorted({int(v) for v in cfg.analysis.rng_lags if int(v) >= 1})
     out: list[dict] = []
     n_games = len(rows)
-    winner = rows["winner_seat"].to_numpy(dtype=object)
+    # winner as a compact 1-based seat integer (0 = no winner): the string
+    # column as numpy objects costs ~10x the memory at mega row counts
+    winner_str = rows["winner_seat"].astype("string")
+    winner_seat_no = np.zeros(n_games, dtype=np.int8)
+    for s in range(1, k + 1):
+        winner_seat_no[(winner_str == f"P{s}").to_numpy(na_value=False)] = s
     strategies = np.stack(
         [rows[f"P{s}_strategy"].to_numpy(np.int64) for s in range(1, k + 1)], axis=1
     )
+    n_rounds = rows["n_rounds"].to_numpy(np.float64)
+    del rows, winner_str
 
     # ── global level ────────────────────────────────────────────────────
     zeros = np.zeros(n_games, dtype=np.int64)
     out += _level_rows(
-        codes=zeros, values=rows["n_rounds"].to_numpy(np.float64),
+        codes=zeros, values=n_rounds,
         keys=["all"], level="global", metric="n_rounds", k=k, root=root, lags=lags,
     )
     out += _level_rows(
-        codes=zeros, values=(winner == "P1").astype(np.float64),
+        codes=zeros, values=(winner_seat_no == 1).astype(np.float64),
         keys=["all"], level="global", metric="p1_win", k=k, root=root, lags=lags,
     )
 
@@ -151,7 +158,7 @@ def run_for_k(cfg: AppConfig, k: int) -> pd.DataFrame:
     sids = strategies.T.reshape(-1)  # seat-major: (K*B,) keeps per-seat order
     order = np.tile(np.arange(n_games), k)
     won = np.concatenate(
-        [(winner == f"P{s}").astype(np.float64) for s in range(1, k + 1)]
+        [(winner_seat_no == s).astype(np.float64) for s in range(1, k + 1)]
     )
     uniq, codes = np.unique(sids, return_inverse=True)
     sort_idx = np.lexsort((order, codes))
@@ -182,7 +189,9 @@ def run_for_k(cfg: AppConfig, k: int) -> pd.DataFrame:
         focal = sorted_lineup[sel, 0]
         focal_won = np.zeros(len(sel))
         for s in range(1, k + 1):
-            focal_won += ((winner[sel] == f"P{s}") & (strategies[sel, s - 1] == focal))
+            focal_won += (
+                (winner_seat_no[sel] == s) & (strategies[sel, s - 1] == focal)
+            )
         out += _level_rows(
             codes=m_codes[sel], values=focal_won.astype(np.float64),
             keys=[str(key) for key in uniq_m[: min(cap, len(uniq_m))]],
@@ -193,7 +202,7 @@ def run_for_k(cfg: AppConfig, k: int) -> pd.DataFrame:
         ms_matchup = np.tile(m_codes[sel], k)
         ms_order = np.tile(np.arange(len(sel)), k)
         ms_won = np.concatenate(
-            [(winner[sel] == f"P{s}").astype(np.float64) for s in range(1, k + 1)]
+            [(winner_seat_no[sel] == s).astype(np.float64) for s in range(1, k + 1)]
         )
         pair_keys = np.array(
             [f"{uniq_m[m]}|{s}" for m, s in zip(ms_matchup, ms_sids)], dtype=object
