@@ -21,6 +21,7 @@ import pyarrow as pa
 
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.utils.artifacts import (
+    iter_parquet_artifact_batches,
     read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
@@ -147,7 +148,12 @@ def melt_rows_to_exposures(df: pd.DataFrame, k: int) -> pd.DataFrame:
             }
         )
         for suffix in BEHAVIOR_SUFFIXES:
-            part[suffix] = pd.to_numeric(df[f"{p}{suffix}"], errors="raise")
+            # positional assignment: the source frame may carry a sliced
+            # (non-Range) index and silent index alignment would NaN out
+            # every unaligned row
+            part[suffix] = pd.to_numeric(
+                df[f"{p}{suffix}"], errors="raise"
+            ).to_numpy()
         parts.append(part)
     long = pd.concat(parts, ignore_index=True)
     if (long["n_turns"] < 1).any() or (long["n_rounds"] < 1).any():
@@ -157,7 +163,17 @@ def melt_rows_to_exposures(df: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def build_all_player_batch_metrics(rows: pa.Table, k: int) -> pa.Table:
     """Reduce a rows table into the per-batch sufficient-statistic frame."""
-    df = rows.to_pandas()
+    return finalize_batch_metrics([partial_raw_sums(rows.to_pandas(), k)])
+
+
+def partial_raw_sums(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Additive raw sufficient sums for one chunk of rows.
+
+    Every aggregate is a count or a sum, so partials from arbitrary chunk
+    boundaries combine exactly by a second groupby-sum
+    (:func:`finalize_batch_metrics`) — the streaming shape of the
+    reference's per-batch accumulators.
+    """
     long = melt_rows_to_exposures(df, k)
 
     long["exact_return"] = long["score"] / long["n_turns"]
@@ -198,11 +214,6 @@ def build_all_player_batch_metrics(rows: pa.Table, k: int) -> pa.Table:
             ),
         }
     )
-    agg["raw_safety_limit_player_game_exposures"] = (
-        agg["raw_player_game_exposures"] - agg["raw_completed_player_game_exposures"]
-    )
-    agg["raw_losses"] = agg["raw_player_game_exposures"] - agg["raw_wins"]
-
     for suffix in BEHAVIOR_SUFFIXES:
         col = long[suffix]
         obs = col.notna()
@@ -215,6 +226,17 @@ def build_all_player_batch_metrics(rows: pa.Table, k: int) -> pa.Table:
         agg[f"raw_{suffix}_square_sum"] = (
             long.assign(v=(col.fillna(0.0) ** 2)).groupby(keys)["v"].sum()
         )
+    return agg.reset_index()
+
+
+def finalize_batch_metrics(partials: list[pd.DataFrame]) -> pa.Table:
+    """Combine additive partial sums, run conservation checks, derive rates."""
+    keys = ["root_seed", "k", "deterministic_batch_id", "strategy"]
+    agg = pd.concat(partials, ignore_index=True).groupby(keys, sort=True).sum()
+    agg["raw_safety_limit_player_game_exposures"] = (
+        agg["raw_player_game_exposures"] - agg["raw_completed_player_game_exposures"]
+    )
+    agg["raw_losses"] = agg["raw_player_game_exposures"] - agg["raw_wins"]
 
     # conservation checks (reference _finish_row:240-250)
     if (
@@ -275,8 +297,14 @@ def run_for_k(cfg: AppConfig, k: int, *, force: bool = False) -> None:
         logger.info("batch metrics k=%d up to date", k)
         return
     src = cfg.curated_rows_path(k)
-    rows = read_parquet_artifact(src, expected_producer="curate")
-    table = build_all_player_batch_metrics(rows, k)
+    # stream scanner batches into additive partial sums: the mega k=2 cell
+    # (~11M rows x 40 columns) and its k-fold exposure melt must never
+    # materialize at once
+    partials = [
+        partial_raw_sums(chunk, k)
+        for chunk in iter_parquet_artifact_batches(src, expected_producer="curate")
+    ]
+    table = finalize_batch_metrics(partials)
     write_parquet_artifact_atomic(
         table, out, producer="metrics", scope="by_k",
         metadata={

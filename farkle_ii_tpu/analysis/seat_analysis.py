@@ -395,17 +395,30 @@ def build_canonical_seat_analysis(
         logger.info("canonical seat analysis up to date")
         return artifacts
 
-    sources = {
-        k: read_parquet_artifact(
-            cfg.curated_rows_path(k), expected_producer="curate"
-        ).to_pandas()
-        for k in ks
-    }
+    def _seat_columns(k: int) -> list[str]:
+        return [
+            "root_seed", "k", "deterministic_batch_id", "termination_status",
+            "winner_seat",
+        ] + [f"P{s}_strategy" for s in range(1, k + 1)]
+
     by_k, population_by_k = {}, {}
+    selfplay_parts: list[pd.DataFrame] = []
+    mirrored_parts: list[pd.DataFrame] = []
     for k, count_path, effect_path, pop_path in zip(
         ks, artifacts.batch_counts, artifacts.by_k, artifacts.population_by_k
     ):
-        counts = build_seat_batch_counts(sources[k], k)
+        # one column-pruned cell at a time: the mega workload's combined row
+        # tables are tens of millions of rows and must never coexist in memory
+        source = read_parquet_artifact(
+            cfg.curated_rows_path(k), expected_producer="curate",
+            columns=_seat_columns(k),
+        ).to_pandas()
+        counts = build_seat_batch_counts(source, k)
+        sp_k, mir_k = game_diagnostics({k: source})
+        selfplay_parts.append(sp_k)
+        if len(mir_k):
+            mirrored_parts.append(mir_k)
+        del source
         _publish(cfg, counts, count_path, scope="by_k", op="aggregate_seat_batch_exposures")
         effects, population = within_k_frames(counts, k)
         by_k[k] = effects
@@ -420,7 +433,13 @@ def build_canonical_seat_analysis(
         cfg, mix, artifacts.exposure_mixture_diagnostic, scope="diagnostics",
         op="within_k_exposure_combination",
     )
-    selfplay, mirrored = game_diagnostics(sources)
+    selfplay = pd.concat(selfplay_parts, ignore_index=True)
+    _, empty_mirrored = game_diagnostics({})
+    mirrored = (
+        pd.concat(mirrored_parts, ignore_index=True)
+        if mirrored_parts
+        else empty_mirrored
+    )
     _publish(
         cfg, selfplay, artifacts.selfplay_diagnostic, scope="diagnostics",
         op="calculate_self_play_diagnostics",

@@ -143,3 +143,20 @@ def test_idempotent_stamps(cfg):
     curate_mod.run(cfg)
     combine_mod.run(cfg)
     metrics_mod.run(cfg)
+
+
+def test_streamed_partials_equal_one_shot(cfg):
+    """Chunked partial_raw_sums == one-shot build (streaming is exact)."""
+    import pandas as pd
+
+    from farkle_ii_tpu.analysis import all_player_metrics as apm
+
+    k = 2
+    rows = pq.read_table(cfg.curated_rows_path(k))
+    one_shot = apm.build_all_player_batch_metrics(rows, k).to_pandas()
+    df = rows.to_pandas()
+    thirds = [df.iloc[i::3] for i in range(3)]  # interleaved, unsorted chunks
+    streamed = apm.finalize_batch_metrics(
+        [apm.partial_raw_sums(c, k) for c in thirds]
+    ).to_pandas()
+    pd.testing.assert_frame_equal(one_shot, streamed)
