@@ -53,6 +53,57 @@ print(json.dumps({{"ok": True, "games": acc.games_attempted}}))
 """
 
 
+_H2H_PROBE_SNIPPET = r"""
+import sys, json
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+import numpy as np
+from farkle_ii_tpu.ops import game_kernel as gk, rng
+from farkle_ii_tpu.simulation import strategies as S
+
+batch = {batch}
+grid = S.build_strategy_grid()
+ids = np.arange(batch * 2, dtype=np.int64) % len(grid)
+p = S.pack_strategy_params([grid[i] for i in ids])
+st = jnp.asarray(p.score_threshold).reshape(batch, 2)
+dt = jnp.asarray(p.dice_threshold).reshape(batch, 2)
+fl = jnp.asarray(p.flags).reshape(batch, 2)
+base = rng.purpose_base_key(rng.RandomPurpose.H2H_PLAYER, root_seed=9, k=2)
+kd = gk.game_key_data_for_games(base, jnp.arange(batch))
+out = jax.jit(gk.play_games)(kd, st, dt, fl)
+comp = int(np.asarray(out.completed).sum())
+safety = int(np.asarray(~out.completed).sum())
+assert comp + safety == batch
+print(json.dumps({{"ok": True, "games": batch}}))
+"""
+
+
+def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
+    """Probe one 2-seat H2H dispatch batch shape (a distinct program family
+    from the tournament chunks, so the tournament envelope does not
+    transfer; grounds ``tpu.h2h_games_per_dispatch``)."""
+    code = _H2H_PROBE_SNIPPET.format(repo=str(repo), batch=batch)
+    start = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+        rc = proc.returncode
+        tail = (proc.stdout + proc.stderr)[-2000:]
+        ok = rc == 0 and '"ok": true' in proc.stdout.lower()
+    except subprocess.TimeoutExpired as exc:
+        rc, ok = -9, False
+        tail = f"timeout after {timeout}s: " + str(exc)[-500:]
+    return {
+        "h2h_batch": batch,
+        "ok": ok,
+        "rc": rc,
+        "seconds": round(time.perf_counter() - start, 1),
+        "tail": None if ok else tail,
+    }
+
+
 def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dict:
     code = _PROBE_SNIPPET.format(repo=str(repo), k=k, ns=ns, compact=compact)
     games_per_shuffle = None
@@ -84,6 +135,10 @@ def main() -> int:
     ap.add_argument("--k", default="2,3,4,5,6,8,10,12")
     ap.add_argument("--ns", default="16,43,64")
     ap.add_argument("--nocompact-too", action="store_true")
+    ap.add_argument(
+        "--h2h-batches", default="",
+        help="comma-separated 2-seat H2H dispatch batch sizes to probe too",
+    )
     ap.add_argument("--timeout", type=float, default=1200.0)
     ap.add_argument("--out", default="results/fault_envelope.json")
     args = ap.parse_args()
@@ -100,6 +155,12 @@ def main() -> int:
                 result = probe_one(repo, k, ns, compact, args.timeout)
                 probes.append(result)
                 print(json.dumps(result), flush=True)
+
+    h2h_probes = []
+    for batch in [int(v) for v in args.h2h_batches.split(",") if v]:
+        result = probe_one_h2h(repo, batch, args.timeout)
+        h2h_probes.append(result)
+        print(json.dumps(result), flush=True)
 
     import jax
 
@@ -119,6 +180,8 @@ def main() -> int:
         "ok_shapes": sorted(
             [[p["k"], p["ns"], p["compact"]] for p in probes if p["ok"]]
         ),
+        "h2h_probes": h2h_probes,
+        "h2h_ok_batches": sorted(p["h2h_batch"] for p in h2h_probes if p["ok"]),
     }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
