@@ -259,6 +259,11 @@ def main(argv: list[str] | None = None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
     start = time_mod.perf_counter()
+    # multi-host bootstrap: no-op unless a jax.distributed coordinator is
+    # configured in the environment (parallel/distributed.py)
+    from farkle_ii_tpu.parallel.distributed import initialize_from_env
+
+    initialize_from_env()
     cfg = _load_config(args)
     if args.command == "two-seed-pipeline":
         pair = _resolve_seed_pair(args)

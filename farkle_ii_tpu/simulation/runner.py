@@ -49,6 +49,7 @@ from farkle_ii_tpu.utils.artifacts import (
     validate_sidecar,
     write_parquet_artifact_atomic,
 )
+from farkle_ii_tpu.parallel.distributed import host_partition, owns_block
 from farkle_ii_tpu.utils.fault_envelope import load_fault_envelope
 from farkle_ii_tpu.utils.stage_completion import write_stage_done
 from farkle_ii_tpu.utils.writer import atomic_path, write_json_atomic
@@ -57,6 +58,9 @@ logger = logging.getLogger(__name__)
 
 # how many deterministic blocks may be dispatched ahead of absorption
 PIPELINE_BLOCK_DEPTH = 4
+
+# how long the finalizing host waits for peers' block artifacts
+_PEER_BLOCK_TIMEOUT_S = 3600.0
 
 SIM_STATE_VERSION = 1
 
@@ -255,6 +259,9 @@ class CellRunResult:
     resumed_batches: list[int]
     elapsed_seconds: float
     games_per_second: float
+    # False on a non-finalizing multi-host worker: its blocks are published
+    # but the cell totals were not assembled (host 0 finalizes)
+    finalized: bool = True
 
 
 def _compile_step(
@@ -584,9 +591,19 @@ def run_cell(
     # device never idles while the host absorbs aggregates and writes block
     # artifacts (absorption is exact and order-independent, so depth only
     # affects latency, never results)
+    host_index, host_count = host_partition()
+    if host_count > 1:
+        logger.info(
+            "k=%d: host %d/%d owns %d of %d blocks",
+            n, host_index, host_count,
+            sum(1 for b in range(plan.batch_count) if owns_block(b, host_index, host_count)),
+            plan.batch_count,
+        )
     inflight: deque[tuple[int, list[tuple[int, int, Any]]]] = deque()
     for batch_id in range(plan.batch_count):
         if batch_id in resumed:
+            continue
+        if host_count > 1 and not owns_block(batch_id, host_index, host_count):
             continue
         inflight.append((batch_id, dispatch_block(batch_id, compact_=compact)))
         if len(inflight) >= PIPELINE_BLOCK_DEPTH:
@@ -596,6 +613,51 @@ def run_cell(
     elapsed = max(time.perf_counter() - start, 1e-9)
     if cfg.tpu.profile_dir:
         jax.profiler.stop_trace()
+
+    if host_count > 1:
+        missing = sorted(
+            b for b in range(plan.batch_count)
+            if b not in resumed and b not in completed
+        )
+        if host_index != 0:
+            # worker: its blocks are durably published; host 0 assembles
+            logger.info(
+                "k=%d: host %d published %d blocks; host 0 finalizes",
+                n, host_index, len(completed),
+            )
+            return CellRunResult(
+                plan=plan, accumulator=total, completed_batches=completed,
+                resumed_batches=resumed, elapsed_seconds=elapsed,
+                games_per_second=games_done / elapsed if games_done else 0.0,
+                finalized=False,
+            )
+        # host 0: absorb peers' published blocks from the shared data plane
+        deadline = time.time() + _PEER_BLOCK_TIMEOUT_S
+        pending = set(missing)
+        while pending:
+            for b in sorted(pending):
+                path = _block_path(cfg, n, b)
+                if not path.exists():
+                    continue
+                try:
+                    acc = load_block_aggregate(
+                        path, expected_coordinates=_expected_coords(b)
+                    )
+                except Exception:
+                    continue  # partially published; retry next poll
+                total.merge(acc)
+                completed.append(b)
+                games_done += plan.shuffles_per_batch * plan.games_per_shuffle
+                pending.discard(b)
+            if pending:
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        f"k={n}: timed out waiting for peer blocks {sorted(pending)}"
+                    )
+                logger.info(
+                    "k=%d: waiting for %d peer blocks", n, len(pending)
+                )
+                time.sleep(2.0)
 
     total.check_conservation()
     expected_games = plan.required_shuffles * plan.games_per_shuffle
@@ -757,6 +819,14 @@ def run_simulation(
         )
         res = run_cell(cfg, n=n, strategies=strategies, run_id=run_id, progress=progress)
         results[n] = res
+        if not res.finalized:
+            # multi-host worker: blocks are on the shared data plane; the
+            # finalizing host publishes summaries and the completion stamp
+            mf.append_manifest_event(
+                manifest_path, "stage_end", run_id=run_id, config_sha=config_sha,
+                stage="simulation", k=n, status="worker_blocks_published",
+            )
+            continue
         plan = res.plan
         if res.games_per_second > 0:
             # measured-throughput runtime projection (reference
@@ -788,6 +858,13 @@ def run_simulation(
         )
 
     cfg = base_cfg  # per-n clones end with the loop; identity uses the base
+    if any(not r.finalized for r in results.values()):
+        mf.append_manifest_event(
+            manifest_path, "run_end", run_id=run_id, config_sha=config_sha,
+            status="worker_done",
+        )
+        return {"run_id": run_id, "results": results,
+                "n_strategies": len(strategies), "finalized": False}
     write_json_atomic(cfg.workload_plan_path(), plans)
     outputs.append(cfg.workload_plan_path())
 
