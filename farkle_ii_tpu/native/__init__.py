@@ -112,3 +112,102 @@ def score_rolls(faces: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+# ── native game engine twin (native/farkle_engine.cpp) ───────────────────────
+
+_ENGINE_SOURCE = (
+    Path(__file__).resolve().parent.parent.parent / "native" / "farkle_engine.cpp"
+)
+
+
+@lru_cache(maxsize=1)
+def _load_engine() -> ctypes.CDLL | None:
+    if not _ENGINE_SOURCE.exists():
+        logger.warning("native engine source missing: %s", _ENGINE_SOURCE)
+        return None
+    source_hash = hashlib.sha256(_ENGINE_SOURCE.read_bytes()).hexdigest()[:16]
+    lib_path = _CACHE_DIR / f"libfarkle_engine_{source_hash}.so"
+    if not lib_path.exists():
+        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = lib_path.with_suffix(".tmp.so")
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(_ENGINE_SOURCE)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+            logger.warning("native engine build failed (%s)", exc)
+            return None
+        os.replace(tmp, lib_path)
+    lib = ctypes.CDLL(str(lib_path))
+    lib.farkle_play_games.argtypes = [
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
+def engine_available() -> bool:
+    return _load_engine() is not None
+
+
+ENGINE_GAME_FIELDS = (
+    "completed", "winner_seat", "winning_score", "margin", "n_rounds",
+    "roll_limit_hits",
+)
+ENGINE_SEAT_FIELDS = (
+    "scores", "ranks", "n_farkles", "n_rolls", "n_turns", "highest_turn",
+    "smart_five_uses", "n_smart_five_dice", "smart_one_uses",
+    "n_smart_one_dice", "n_hot_dice",
+)
+
+
+def play_games(
+    key_data: np.ndarray,
+    score_thresholds: np.ndarray,
+    dice_thresholds: np.ndarray,
+    flags: np.ndarray,
+    *,
+    target_score: int = 10_000,
+    max_rounds: int = 200,
+) -> dict[str, np.ndarray]:
+    """Play a batch of games through the independent C++ engine twin.
+
+    Same inputs as the device kernel (``ops/game_kernel.play_games``), same
+    threefry dice streams — results are bit-identical by construction and
+    tests enforce it. Returns a dict of per-game arrays plus (B, K) per-seat
+    counter matrices keyed like ``GameResult``.
+    """
+    lib = _load_engine()
+    if lib is None:
+        raise RuntimeError("native engine library unavailable")
+    kd = np.ascontiguousarray(key_data, dtype=np.uint32)
+    st = np.ascontiguousarray(score_thresholds, dtype=np.int32)
+    dt = np.ascontiguousarray(dice_thresholds, dtype=np.int32)
+    fl = np.ascontiguousarray(flags, dtype=np.int32)
+    n, k = st.shape
+    if kd.shape != (n, 2) or dt.shape != (n, k) or fl.shape != (n, k):
+        raise ValueError("inconsistent batch shapes")
+    stride = 6 + 11 * k
+    out = np.zeros((n, stride), dtype=np.int32)
+    lib.farkle_play_games(
+        ctypes.c_int64(n), ctypes.c_int32(k),
+        kd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(target_score), ctypes.c_int32(max_rounds),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    result: dict[str, np.ndarray] = {}
+    for i, name in enumerate(ENGINE_GAME_FIELDS):
+        result[name] = out[:, i].copy()
+    result["completed"] = result["completed"].astype(bool)
+    seat_block = out[:, 6:].reshape(n, k, 11)
+    for j, name in enumerate(ENGINE_SEAT_FIELDS):
+        result[name] = seat_block[:, :, j].copy()
+    return result

@@ -41,3 +41,51 @@ def test_batch_scorer_validation():
         native.score_rolls(np.zeros((3, 5), dtype=np.int8))
     with pytest.raises(ValueError):
         native.score_counts([1, 2, 3])
+
+
+def test_native_engine_matches_device_kernel():
+    """The C++ engine twin is bit-identical to the device kernel on shared
+    threefry streams — a third independent implementation of the full game
+    loop (scoring, smart discards, entry gate, hot dice, final round,
+    safety limit) triangulating the rules."""
+    import jax, jax.numpy as jnp
+
+    from farkle_ii_tpu import native as N
+    from farkle_ii_tpu.ops import game_kernel as gk, rng
+    from farkle_ii_tpu.simulation import strategies as S
+
+    if not N.engine_available():
+        pytest.skip("native toolchain unavailable")
+
+    k, B = 3, 768
+    grid = S.build_strategy_grid()
+    ids = np.random.default_rng(17).integers(0, len(grid), size=(B, k))
+    p = S.pack_strategy_params([grid[i] for i in ids.ravel()])
+    st = np.asarray(p.score_threshold).reshape(B, k)
+    dt = np.asarray(p.dice_threshold).reshape(B, k)
+    fl = np.asarray(p.flags).reshape(B, k)
+    base = rng.purpose_base_key(
+        rng.RandomPurpose.TOURNAMENT_PLAYER, root_seed=5, k=k, shuffle_index=2
+    )
+    kd = np.asarray(gk.game_key_data_for_games(base, jnp.arange(B)))
+
+    native = N.play_games(kd, st, dt, fl)
+    device = jax.jit(gk.play_games)(
+        jnp.asarray(kd), jnp.asarray(st), jnp.asarray(dt), jnp.asarray(fl)
+    )
+
+    np.testing.assert_array_equal(native["completed"], np.asarray(device.completed))
+    np.testing.assert_array_equal(native["winner_seat"], np.asarray(device.winner_seat))
+    np.testing.assert_array_equal(native["winning_score"], np.asarray(device.winning_score))
+    np.testing.assert_array_equal(native["margin"], np.asarray(device.margin))
+    np.testing.assert_array_equal(native["n_rounds"], np.asarray(device.n_rounds))
+    comp = native["completed"]
+    np.testing.assert_array_equal(
+        native["ranks"][comp], np.asarray(device.ranks)[comp]
+    )
+    for name in ("scores", "n_farkles", "n_rolls", "n_turns", "highest_turn",
+                 "smart_five_uses", "n_smart_five_dice", "smart_one_uses",
+                 "n_smart_one_dice", "n_hot_dice"):
+        np.testing.assert_array_equal(
+            native[name], np.asarray(getattr(device, name)), err_msg=name
+        )
