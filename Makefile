@@ -12,6 +12,9 @@ fast-test:
 contracts:
 	python scripts/check_rng_contract.py
 	python scripts/check_terminology.py
+	python scripts/check_structure_release.py
+	python -m compileall -q farkle_ii_tpu scripts
+	python scripts/check_unused_imports.py
 
 bench:
 	python bench.py

@@ -22,7 +22,6 @@ import pyarrow as pa
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
 from farkle_ii_tpu.utils.artifacts import (
     iter_parquet_artifact_batches,
-    read_parquet_artifact,
     write_parquet_artifact_atomic,
 )
 from farkle_ii_tpu.utils.schema_helpers import OUTCOME_SCHEMA_VERSION

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from farkle_ii_tpu.ops.game_kernel import (
     DEFAULT_MAX_ROUNDS,

@@ -25,7 +25,6 @@ import pandas as pd
 import pyarrow as pa
 
 from farkle_ii_tpu.analysis.stage_runner import StageRunner, build_root_stage_plan
-from farkle_ii_tpu.analysis.stage_registry import H2H_TAIL_STAGES
 from farkle_ii_tpu.config import AppConfig
 from farkle_ii_tpu.orchestration import seed_utils
 from farkle_ii_tpu.utils import manifest as mf
