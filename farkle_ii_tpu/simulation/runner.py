@@ -120,7 +120,10 @@ def save_block_aggregate(
 ) -> None:
     state = acc.state_dict()
     buf = io.BytesIO()
-    np.savez_compressed(
+    # uncompressed: filled aggregates are near-incompressible int64 noise,
+    # and the ~100 ms/block of zlib ran on the absorb critical path (~86 s
+    # of a mega run); plain npz is ~2 ms
+    np.savez(
         buf,
         **{k: np.asarray(v) for k, v in state.items()},
         batch_id=np.asarray(batch_id),
@@ -574,10 +577,7 @@ def run_cell(
             )
             return
         acc.check_conservation()
-        save_block_aggregate(
-            _block_path(cfg, n, batch_id), acc, batch_id=batch_id,
-            coordinates=_expected_coords(batch_id),
-        )
+        _enqueue_block_save(batch_id, acc)
         total.merge(acc)
         completed.append(batch_id)
         games_done += plan.shuffles_per_batch * plan.games_per_shuffle
@@ -586,6 +586,44 @@ def run_cell(
                 f"k={n} batch {batch_id + 1}/{plan.batch_count} "
                 f"({games_done:,} games)"
             )
+
+    # async block persistence: publishing a block (atomic npz + sidecar,
+    # fsyncs) is pure host IO independent of absorption, so a single writer
+    # thread takes it off the critical path; the queue joins before the cell
+    # conserves, and a writer failure fails the run (still resumable).
+    import queue as queue_mod
+    import threading
+
+    save_queue: queue_mod.Queue = queue_mod.Queue(maxsize=16)
+    save_errors: list[BaseException] = []
+
+    def _writer() -> None:
+        while True:
+            item = save_queue.get()
+            if item is None:
+                return
+            b_id, b_acc = item
+            try:
+                save_block_aggregate(
+                    _block_path(cfg, n, b_id), b_acc, batch_id=b_id,
+                    coordinates=_expected_coords(b_id),
+                )
+            except BaseException as exc:  # surfaced at join
+                save_errors.append(exc)
+
+    writer = threading.Thread(target=_writer, name=f"block-writer-k{n}", daemon=True)
+    writer.start()
+
+    def _enqueue_block_save(b_id: int, b_acc) -> None:
+        if save_errors:
+            raise RuntimeError("block writer failed") from save_errors[0]
+        save_queue.put((b_id, b_acc))
+
+    def _join_writer() -> None:
+        save_queue.put(None)
+        writer.join()
+        if save_errors:
+            raise RuntimeError("block writer failed") from save_errors[0]
 
     # cross-block pipeline: keep a few blocks' chunks dispatched ahead so the
     # device never idles while the host absorbs aggregates and writes block
@@ -610,6 +648,7 @@ def run_cell(
             absorb_block(*inflight.popleft())
     while inflight:
         absorb_block(*inflight.popleft())
+    _join_writer()
     elapsed = max(time.perf_counter() - start, 1e-9)
     if cfg.tpu.profile_dir:
         jax.profiler.stop_trace()
