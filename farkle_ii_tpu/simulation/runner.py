@@ -280,10 +280,10 @@ def _compile_step(
     if with_rows:
 
         def fn(params, sh):
-            agg, result, seat_ids = T.play_and_aggregate_with_rows(
+            agg, packed_rows = T.play_and_aggregate_with_rows(
                 spec, params, sh, compact=compact, pad_multiple=pad_multiple
             )
-            return T.pack_aggregates(agg), result, seat_ids
+            return T.pack_aggregates(agg), packed_rows
 
         if game_kwargs:
             raise ValueError("game_kwargs unsupported on the row-export path")
@@ -550,11 +550,12 @@ def run_cell(
         try:
             for chunk_lo, chunk_hi, out in pending:
                 if with_rows:
-                    packed, result, seat_ids = out
+                    packed, packed_rows = out
+                    result, seat_ids = T.unpack_result_rows(packed_rows, int(n))
                     _write_row_shard(
                         cfg, n=n, spec=spec, batch_id=batch_id,
                         shuffle_lo=chunk_lo, shuffle_hi=chunk_hi,
-                        result=result, seat_ids=np.asarray(seat_ids),
+                        result=result, seat_ids=seat_ids,
                     )
                     agg = T.unpack_aggregates(packed, len(strategies))
                 elif isinstance(out, tuple):  # block-scan limb pair

@@ -431,6 +431,48 @@ def unpack_block_aggregates(
     return unpack_aggregates(total, n_strategies)
 
 
+# per-game scalar GameResult fields, in packed-row order
+_ROW_GAME_FIELDS = (
+    "completed", "winner_seat", "winning_score", "margin", "n_rounds",
+    "roll_limit_hits",
+)
+# (B, K) GameResult fields, in packed-row order (seat_ids appended last)
+_ROW_SEAT_FIELDS = (
+    "scores", "ranks", "n_farkles", "n_rolls", "n_turns", "highest_turn",
+    "smart_five_uses", "n_smart_five_dice", "smart_one_uses",
+    "n_smart_one_dice", "n_hot_dice",
+)
+
+
+def pack_result_rows(result: gk.GameResult, seat_ids: jax.Array) -> jax.Array:
+    """All row-export fields in one ``(B, 6 + 12K)`` int32 buffer.
+
+    A remote backend pays a full round trip per fetched array; the row path
+    had been fetching ~35 arrays per chunk, which dominated row-export wall
+    clock. One buffer = one fetch (host-side inverse:
+    :func:`unpack_result_rows`).
+    """
+    per_game = jnp.stack(
+        [getattr(result, f).astype(jnp.int32) for f in _ROW_GAME_FIELDS], axis=1
+    )
+    per_seat = [getattr(result, f).astype(jnp.int32) for f in _ROW_SEAT_FIELDS]
+    return jnp.concatenate([per_game, *per_seat, seat_ids.astype(jnp.int32)], axis=1)
+
+
+def unpack_result_rows(packed, k: int) -> tuple[gk.GameResult, np.ndarray]:
+    """Host-side inverse of :func:`pack_result_rows` (numpy views)."""
+    arr = np.asarray(packed)
+    fields: dict[str, np.ndarray] = {}
+    for i, f in enumerate(_ROW_GAME_FIELDS):
+        fields[f] = arr[:, i]
+    fields["completed"] = fields["completed"].astype(bool)
+    off = len(_ROW_GAME_FIELDS)
+    for j, f in enumerate(_ROW_SEAT_FIELDS):
+        fields[f] = arr[:, off + j * k : off + (j + 1) * k]
+    seat_ids = arr[:, off + len(_ROW_SEAT_FIELDS) * k :]
+    return gk.GameResult(**fields), seat_ids
+
+
 def play_and_aggregate_with_rows(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
@@ -439,11 +481,14 @@ def play_and_aggregate_with_rows(
     compact: bool = True,
     pad_multiple: int | None = None,
 ):
-    """Play + reduce, also returning per-game results for row export."""
+    """Play + reduce, also returning packed per-game rows for export."""
     result, seat_ids = play_shuffles(
         spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple
     )
-    return aggregate(result, seat_ids, spec.n_strategies), result, seat_ids
+    return (
+        aggregate(result, seat_ids, spec.n_strategies),
+        pack_result_rows(result, seat_ids),
+    )
 
 
 # ---------------------------------------------------------------------------
