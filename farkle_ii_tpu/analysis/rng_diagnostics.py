@@ -169,18 +169,22 @@ def run_for_k(cfg: AppConfig, k: int) -> pd.DataFrame:
     )
 
     # ── matchup + matchup-strategy levels (all k, capped groups) ───────
+    # grouping is fully integer-coded: building per-row string keys cost
+    # tens of minutes at production row counts; labels are materialized
+    # only for the <= cap kept groups
     sorted_lineup = np.sort(strategies, axis=1)
-    matchup_keys_all = np.array(
-        [":".join(str(int(v)) for v in row) for row in sorted_lineup], dtype=object
-    )
-    uniq_m, m_codes = np.unique(matchup_keys_all, return_inverse=True)
+    uniq_rows, m_codes = np.unique(sorted_lineup, axis=0, return_inverse=True)
     cap = int(cfg.analysis.rng_max_matchup_groups)
-    if len(uniq_m) > cap:
+    if len(uniq_rows) > cap:
         logger.info(
             "rng diagnostics k=%d: %d matchup groups capped to %d "
-            "(deterministic key order)", k, len(uniq_m), cap,
+            "(deterministic key order)", k, len(uniq_rows), cap,
         )
-    keep = np.flatnonzero(m_codes < cap)  # uniq is sorted: first N keys
+    n_kept = min(cap, len(uniq_rows))
+    # lineup rows sort lexicographically like the old string keys sorted
+    # numerically-per-field; label order is deterministic either way
+    m_labels = [":".join(str(int(v)) for v in row) for row in uniq_rows[:n_kept]]
+    keep = np.flatnonzero(m_codes < cap)
     if len(keep):
         mk = m_codes[keep]
         midx = np.argsort(mk, kind="stable")
@@ -194,24 +198,29 @@ def run_for_k(cfg: AppConfig, k: int) -> pd.DataFrame:
             )
         out += _level_rows(
             codes=m_codes[sel], values=focal_won.astype(np.float64),
-            keys=[str(key) for key in uniq_m[: min(cap, len(uniq_m))]],
+            keys=m_labels,
             level="matchup", metric="focal_win", k=k, root=root, lags=lags,
         )
-        # matchup-strategy level: per (matchup, seat strategy) win stream
-        ms_sids = strategies[sel].T.reshape(-1)
-        ms_matchup = np.tile(m_codes[sel], k)
+        # matchup-strategy level: per (matchup, seat strategy) win stream,
+        # pair-coded as matchup * (max_sid + 1) + sid
+        ms_sids = strategies[sel].T.reshape(-1).astype(np.int64)
+        ms_matchup = np.tile(m_codes[sel].astype(np.int64), k)
         ms_order = np.tile(np.arange(len(sel)), k)
         ms_won = np.concatenate(
             [(winner_seat_no[sel] == s).astype(np.float64) for s in range(1, k + 1)]
         )
-        pair_keys = np.array(
-            [f"{uniq_m[m]}|{s}" for m, s in zip(ms_matchup, ms_sids)], dtype=object
+        sid_base = int(ms_sids.max()) + 1 if len(ms_sids) else 1
+        uniq_pair, p_codes = np.unique(
+            ms_matchup * sid_base + ms_sids, return_inverse=True
         )
-        uniq_p, p_codes = np.unique(pair_keys, return_inverse=True)
+        p_labels = [
+            f"{m_labels[int(code // sid_base)]}|{int(code % sid_base)}"
+            for code in uniq_pair
+        ]
         p_sort = np.lexsort((ms_order, p_codes))
         out += _level_rows(
             codes=p_codes[p_sort], values=ms_won[p_sort],
-            keys=[str(key) for key in uniq_p],
+            keys=p_labels,
             level="matchup_strategy", metric="win", k=k, root=root, lags=lags,
         )
     return pd.DataFrame(out)
