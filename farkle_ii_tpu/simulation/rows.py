@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from farkle_ii_tpu.ops.game_kernel import GameResult
@@ -165,9 +166,8 @@ def validate_rows_table(table: pa.Table) -> None:
             raise ValueError("completed ranks must be the permutation 1..k")
         if np.isnan(winning_score[comp].astype(float)).any():
             raise ValueError("completed rows must have winning_score")
-        for x in winner_seat[comp]:
-            if x is None:
-                raise ValueError("completed rows must name a winner seat")
+        if pd.isna(winner_seat[comp]).any():
+            raise ValueError("completed rows must name a winner seat")
         if np.isnan(winner_strategy[comp].astype(float)).any():
             raise ValueError("completed rows must name a winner strategy")
     # safety rows: no winner-conditioned fields
@@ -175,9 +175,10 @@ def validate_rows_table(table: pa.Table) -> None:
     if safe.any():
         if not np.isnan(ranks[safe].astype(float)).all():
             raise ValueError("safety rows cannot assign ranks")
-        for x in winner_seat[safe]:
-            if x is not None:
-                raise ValueError("safety rows cannot name a winner")
+        # string nulls surface as None or float nan depending on the
+        # arrow->pandas path; pd.isna handles both
+        if (~pd.isna(winner_seat[safe])).any():
+            raise ValueError("safety rows cannot name a winner")
         if not np.isnan(winning_score[safe].astype(float)).all():
             raise ValueError("safety rows cannot have winning_score")
 
