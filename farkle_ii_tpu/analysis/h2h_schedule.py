@@ -421,25 +421,66 @@ def plan_h2h_schedule(cfg: AppConfig, *, force: bool = False) -> dict:
 
 
 @lru_cache(maxsize=16)
-def _h2h_compiled_step(batch: int, use_aot: bool):
-    """Compiled 2-player ``play_games`` for one batch size, memoized.
+def _h2h_window_step(nb: int, window: int, root_seed: int, use_aot: bool):
+    """Compiled fused H2H window: coordinates, play, stop-at-target reduce.
 
-    Without the memo every block group re-traced and re-deserialized the
-    same executable (~1 s per AOT cache hit), which dominated H2H execution
-    wall clock at production block counts.
+    The whole window runs on device from tiny per-block inputs — (nb,)
+    param/coordinate vectors up, one (nb, 4) int32 result down
+    [attempts_counted, completed, seat1_wins, safety] — instead of
+    uploading (nb*window,)-sized repeated params and fetching per-attempt
+    arrays (round trips dominated H2H wall clock on the remote backend).
+    The stop-at-target truncation (sequential attempt semantics) is the
+    same cumsum/argmax algebra the host used; results are bit-identical.
     """
     import jax
     import jax.numpy as jnp
 
-    from farkle_ii_tpu.ops import game_kernel as gk
+    from farkle_ii_tpu.ops import game_kernel as gk, rng as rng_mod
+
+    def fn(pair_g, order_g, attempts, st1, dt1, fl1, st2, dt2, fl2,
+           prior_completed, n_required):
+        pair = jnp.repeat(pair_g, window)
+        order = jnp.repeat(order_g, window)
+        attempt = jnp.tile(attempts, nb)
+        keys = rng_mod.vector_coordinate_keys(
+            rng_mod.RandomPurpose.H2H_PLAYER,
+            root_seed=root_seed, k=2,
+            pair_id=pair, order=order, game_index=attempt,
+        )
+        kd = jax.random.key_data(keys)
+        st = jnp.stack([jnp.repeat(st1, window), jnp.repeat(st2, window)], axis=1)
+        dt = jnp.stack([jnp.repeat(dt1, window), jnp.repeat(dt2, window)], axis=1)
+        fl = jnp.stack([jnp.repeat(fl1, window), jnp.repeat(fl2, window)], axis=1)
+        res = gk.play_games(kd, st, dt, fl)
+        comp = res.completed.reshape(nb, window).astype(jnp.int32)
+        win = (res.completed & (res.winner_seat == 0)).reshape(nb, window)
+        win = win.astype(jnp.int32)
+        cum = prior_completed[:, None] + jnp.cumsum(comp, axis=1)
+        reached = cum >= n_required[:, None]
+        first = jnp.where(reached.any(axis=1), jnp.argmax(reached, axis=1), window - 1)
+        counted = first + 1
+        mask = (jnp.arange(window, dtype=jnp.int32)[None, :] < counted[:, None]).astype(jnp.int32)
+        return jnp.stack(
+            [
+                counted,
+                (comp * mask).sum(axis=1),
+                (win * mask).sum(axis=1),
+                ((1 - comp) * mask).sum(axis=1),
+            ],
+            axis=1,
+        )
 
     if not use_aot:
-        return jax.jit(gk.play_games)
+        return jax.jit(fn)
     from farkle_ii_tpu.utils.aot_cache import cached_compile
 
-    kd = jnp.zeros((batch, 2), dtype=jnp.uint32)
-    ex = jnp.zeros((batch, 2), dtype=jnp.int32)
-    return cached_compile(gk.play_games, kd, ex, ex, ex, extra_key=f"h2h-b{batch}")
+    u = jnp.zeros((nb,), dtype=jnp.uint32)
+    i = jnp.zeros((nb,), dtype=jnp.int32)
+    w = jnp.zeros((window,), dtype=jnp.uint32)
+    return cached_compile(
+        fn, u, u, w, i, i, i, i, i, i, i, i,
+        extra_key=f"h2h-window-{nb}x{window}-r{root_seed}",
+    )
 
 
 def _play_block_window(
@@ -448,16 +489,18 @@ def _play_block_window(
     attempt_lo: int,
     attempt_hi: int,
     params_lookup,
+    prior_completed: np.ndarray,
+    n_required: int,
 ):
-    """Play one attempt window for every pending block as a single batch.
+    """Play one attempt window for every pending block, fused on device.
 
-    Returns per-block arrays of per-attempt ``(completed, seat1_win)`` with
-    attempt order preserved: shape (n_blocks, window).
+    Returns per-block int32 sums ``(attempts_counted, completed, seat1_wins,
+    safety)`` of shape (n_blocks, 4), truncated at the attempt that reaches
+    ``n_required`` completed games (sequential stop-at-target semantics,
+    computed in the compiled step — only (nb,)-sized vectors cross the host
+    boundary in either direction).
     """
-    import jax
     import jax.numpy as jnp
-
-    from farkle_ii_tpu.ops import game_kernel as gk, rng as rng_mod
 
     window = attempt_hi - attempt_lo
     n_blocks = len(blocks)
@@ -468,17 +511,13 @@ def _play_block_window(
     seat1 = blocks["seat1_strategy"].to_numpy(dtype=np.int64)
     seat2 = blocks["seat2_strategy"].to_numpy(dtype=np.int64)
 
-    # coordinates per game (block-major, attempt-minor)
-    results = np.zeros((n_blocks, window, 2), dtype=np.int32)  # completed, seat1win
-    # cap each device dispatch: (blocks x window) games per batch. Large
-    # batches both hit the TPU-runtime batch-shape fault envelope
-    # (tests/FAILURE_NOTES.md: crashes observed from B~37k up) and blow up
-    # XLA constant-folding time on CPU; a fixed power-of-two block-group size
-    # also keeps one compiled shape across shrinking pending sets (each
-    # recompile on the remote TPU backend costs minutes of lowering)
+    out_sums = np.zeros((n_blocks, 4), dtype=np.int32)
+    # cap each device dispatch: (blocks x window) games per batch, probed via
+    # scripts/probe_fault_envelope.py --h2h-batches; a fixed power-of-two
+    # block-group size keeps one compiled shape across shrinking pending sets
     group = max(1, int(cfg.tpu.h2h_games_per_dispatch) // window)
     group = 1 << (group.bit_length() - 1)  # round down to a power of two
-    # group by root seed (part of the key prefix)
+    use_aot = bool(getattr(cfg.tpu, "aot_cache", False))
     for root in sorted(set(root_seeds.tolist())):
         sel_root = np.flatnonzero(root_seeds == root)
         for group_lo in range(0, len(sel_root), group):
@@ -486,37 +525,26 @@ def _play_block_window(
             nb = len(sel)
             nb_pad = group
             pad_sel = np.concatenate([sel, np.full(nb_pad - nb, sel[0])])
-            pair_g = np.repeat(pair_ids[pad_sel], window)
-            order_g = np.repeat(orders[pad_sel], window)
-            attempt_g = np.tile(attempts, nb_pad)
-            keys = rng_mod.vector_coordinate_keys(
-                rng_mod.RandomPurpose.H2H_PLAYER,
-                root_seed=int(root), k=2,
-                pair_id=jnp.asarray(pair_g),
-                order=jnp.asarray(order_g),
-                game_index=jnp.asarray(attempt_g),
-            )
-            key_data = jax.random.key_data(keys)  # (B, 2) game keys
             st1, dt1, fl1 = params_lookup(seat1[pad_sel])
             st2, dt2, fl2 = params_lookup(seat2[pad_sel])
-            st = jnp.asarray(
-                np.stack([np.repeat(st1, window), np.repeat(st2, window)], axis=1)
+            step = _h2h_window_step(nb_pad, window, int(root), use_aot)
+            out = step(
+                jnp.asarray(pair_ids[pad_sel]),
+                jnp.asarray(orders[pad_sel]),
+                jnp.asarray(attempts),
+                jnp.asarray(st1, dtype=jnp.int32),
+                jnp.asarray(dt1, dtype=jnp.int32),
+                jnp.asarray(fl1, dtype=jnp.int32),
+                jnp.asarray(st2, dtype=jnp.int32),
+                jnp.asarray(dt2, dtype=jnp.int32),
+                jnp.asarray(fl2, dtype=jnp.int32),
+                jnp.asarray(prior_completed[pad_sel], dtype=jnp.int32),
+                jnp.asarray(
+                    np.full(nb_pad, n_required), dtype=jnp.int32
+                ),
             )
-            dt = jnp.asarray(
-                np.stack([np.repeat(dt1, window), np.repeat(dt2, window)], axis=1)
-            )
-            fl = jnp.asarray(
-                np.stack([np.repeat(fl1, window), np.repeat(fl2, window)], axis=1)
-            )
-            step = _h2h_compiled_step(
-                nb_pad * window, bool(getattr(cfg.tpu, "aot_cache", False))
-            )
-            out = step(key_data, st, dt, fl)
-            completed = np.asarray(out.completed).reshape(nb_pad, window)[:nb]
-            winner = np.asarray(out.winner_seat).reshape(nb_pad, window)[:nb]
-            results[sel, :, 0] = completed.astype(np.int32)
-            results[sel, :, 1] = (completed & (winner == 0)).astype(np.int32)
-    return results
+            out_sums[sel] = np.asarray(out)[:nb]
+    return out_sums
 
 
 def execute_h2h_schedule(
@@ -618,23 +646,14 @@ def execute_h2h_schedule(
         if len(pending) == 0:
             break
         blocks = schedule.iloc[pending]
-        results = _play_block_window(cfg, blocks, attempt_lo, attempt_hi, params_lookup)
-        comp_w = results[:, :, 0]
-        win_w = results[:, :, 1]
-        # sequential stop-at-target truncation per block
-        cum = completed[pending, None] + np.cumsum(comp_w, axis=1)
-        reached = cum >= n_required
-        # count attempts up to and including the one that reaches the target
-        first_reach = np.where(
-            reached.any(axis=1), reached.argmax(axis=1), attempt_hi - attempt_lo - 1
+        sums = _play_block_window(
+            cfg, blocks, attempt_lo, attempt_hi, params_lookup,
+            prior_completed=completed[pending], n_required=n_required,
         )
-        counted = first_reach + 1  # attempts consumed in this window
-        idx = np.arange(attempt_hi - attempt_lo)[None, :]
-        in_count = idx < counted[:, None]
-        completed[pending] += (comp_w * in_count).sum(axis=1)
-        seat1_wins[pending] += (win_w * in_count).sum(axis=1)
-        safety[pending] += ((1 - comp_w) * in_count).sum(axis=1)
-        attempted[pending] += counted
+        attempted[pending] += sums[:, 0]
+        completed[pending] += sums[:, 1]
+        seat1_wins[pending] += sums[:, 2]
+        safety[pending] += sums[:, 3]
         save_state()
 
     # final per-block frame (order counts)
