@@ -46,12 +46,10 @@ def main() -> int:
     games_per_chunk = args.ns * spec.games_per_shuffle
 
     variants = {
-        "base_partition": dict(compact_take_impl="partition"),
-        "take_nonzero": dict(compact_take_impl="nonzero"),
-        "take_searchsorted": dict(compact_take_impl="searchsorted"),
-        "nonzero_r4-32-256": dict(
-            compact_take_impl="nonzero", compact_ratios=(4, 32, 256)
-        ),
+        "base_r8-64-512": dict(),
+        "r4-16-128": dict(compact_ratios=(4, 16, 128)),
+        "r4-64-512": dict(compact_ratios=(4, 64, 512)),
+        "r2-16-256": dict(compact_ratios=(2, 16, 256)),
     }
 
     compiled = {}
