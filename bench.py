@@ -61,6 +61,7 @@ def main() -> None:
         return compiled
 
     step = None
+    used_shape: tuple[int, int, bool] | None = None
     for (n_chunks, ns), compact in [(s, True) for s in ladder] + [
         (s, False) for s in ladder
     ]:
@@ -82,6 +83,7 @@ def main() -> None:
                 )
                 assert int(total.games_attempted) == games_per_step
             step = run
+            used_shape = (n_chunks, ns, compact)
             break
         except AssertionError:
             raise
@@ -108,6 +110,15 @@ def main() -> None:
                 "value": round(games_per_sec, 1),
                 "unit": "games/s",
                 "vs_baseline": round(games_per_sec / BASELINE_GAMES_PER_SEC, 2),
+                # which fault-ladder rung produced the number (VERDICT r2 #7):
+                # cross-round comparisons must be same-shape to mean anything
+                "dispatch_shape": {
+                    "k": k,
+                    "n_chunks": used_shape[0],
+                    "shuffles_per_chunk": used_shape[1],
+                    "compact": used_shape[2],
+                    "games_per_step": used_shape[0] * used_shape[1] * spec.games_per_shuffle,
+                },
             }
         )
     )

@@ -89,13 +89,42 @@ def two_proportion_score_test(count1: int, nobs1: int, count2: int, nobs2: int) 
     return ScoreResult(difference, null_prop, statistic, p_value)
 
 
+def _restricted_mle_p1(
+    count1: int, nobs1: int, count2: int, nobs2: int, delta: float
+) -> float:
+    """Restricted MLE of ``p1`` under the constraint ``p1 - p2 = delta``.
+
+    Farrington & Manning (1990, Statistics in Medicine 9:1447-1454) give the
+    unique admissible root of the constrained-likelihood cubic in closed
+    trigonometric form. This solves the cubic in the ``p1`` parameterization
+    (their eq. for L3..L0 with theta = n2/n1); the admissible root is the
+    middle one, selected by the shifted-arccos branch.
+    """
+    p1_hat = count1 / nobs1
+    p2_hat = count2 / nobs2
+    theta = nobs2 / nobs1
+    a = 1.0 + theta
+    b = -(1.0 + theta + p1_hat + theta * p2_hat + delta * (theta + 2.0))
+    c = delta * delta + delta * (2.0 * p1_hat + theta + 1.0) + p1_hat + theta * p2_hat
+    d = -p1_hat * delta * (1.0 + delta)
+    v = (b / (3.0 * a)) ** 3 - b * c / (6.0 * a * a) + d / (2.0 * a)
+    u_sq = (b / (3.0 * a)) ** 2 - c / (3.0 * a)
+    u = math.copysign(math.sqrt(max(0.0, u_sq)), v) if v != 0.0 else 0.0
+    if u == 0.0:
+        p1 = -b / (3.0 * a)
+    else:
+        w = (math.pi + math.acos(max(-1.0, min(1.0, v / u**3)))) / 3.0
+        p1 = 2.0 * u * math.cos(w) - b / (3.0 * a)
+    return p1
+
+
 def _score_statistic_at_difference(
     count1: int, nobs1: int, count2: int, nobs2: int, difference: float
 ) -> float:
     """Constrained-MLE score statistic at a hypothesized difference.
 
-    Uses the closed-form cubic solution for the restricted MLE (Miettinen &
-    Nurminen / Farrington & Manning construction).
+    Degenerate hypotheses pin both proportions (``|difference| >= 1``); a
+    zero difference reduces the restricted MLE to the pooled rate.
     """
     observed = count1 / nobs1 - count2 / nobs2
     if difference <= -1.0:
@@ -105,22 +134,9 @@ def _score_statistic_at_difference(
     elif difference == 0.0:
         p1 = p2 = (count1 + count2) / (nobs1 + nobs2)
     else:
-        total_n = nobs1 + nobs2
-        total_count = count1 + count2
-        c2 = (nobs1 + 2 * nobs2) * difference - total_n - total_count
-        c1 = (count2 * difference - total_n - 2 * count2) * difference + total_count
-        c0 = count2 * difference * (1.0 - difference)
-        q = (c2 / (3 * total_n)) ** 3 - c1 * c2 / (6 * total_n**2) + c0 / (2 * total_n)
-        radicand = (c2 / (3 * total_n)) ** 2 - c1 / (3 * total_n)
-        p = math.copysign(math.sqrt(max(0.0, radicand)), q) if q != 0.0 else 0.0
-        if p == 0.0:
-            p2 = -c2 / (3 * total_n)
-        else:
-            cosarg = max(-1.0, min(1.0, q / p**3))
-            angle = (math.pi + math.acos(cosarg)) / 3.0
-            p2 = 2.0 * p * math.cos(angle) - c2 / (3 * total_n)
-        p1 = max(0.0, min(1.0, p2 + difference))
-        p2 = max(0.0, min(1.0, p2))
+        p1 = _restricted_mle_p1(count1, nobs1, count2, nobs2, difference)
+        p2 = max(0.0, min(1.0, p1 - difference))
+        p1 = max(0.0, min(1.0, p1))
     variance = p1 * (1.0 - p1) / nobs1 + p2 * (1.0 - p2) / nobs2
     numerator = observed - difference
     if variance > 0.0:
@@ -133,10 +149,18 @@ def _score_statistic_at_difference(
 def _score_interval_bound(
     count1, nobs1, count2, nobs2, *, observed, endpoint, critical_value
 ) -> float:
+    """One confidence bound by inverting the score test toward ``endpoint``.
+
+    The rejection excess ``|S(delta)| - z`` is negative at the observed
+    difference (where S = 0) and positive at the endpoint whenever a bound
+    exists strictly inside. March inward from the endpoint, halving the
+    distance to the estimate, until the test stops rejecting; the first
+    crossing then lies in the last halving step and Brent's method pins it.
+    """
     if observed == endpoint:
         return endpoint
 
-    def objective(difference: float) -> float:
+    def excess(difference: float) -> float:
         stat = _score_statistic_at_difference(count1, nobs1, count2, nobs2, difference)
         if math.isnan(stat):
             raise RuntimeError("score interval produced an undefined statistic")
@@ -144,24 +168,17 @@ def _score_interval_bound(
             return 1.0
         return abs(stat) - critical_value
 
-    previous = observed
-    span = endpoint - observed
-    for exponent in range(52, -1, -1):
-        candidate = observed + span * 2.0**-exponent
-        if candidate == previous:
-            continue
-        if objective(candidate) >= 0.0:
-            return float(
-                brentq(
-                    objective,
-                    min(previous, candidate),
-                    max(previous, candidate),
-                    xtol=1e-12,
-                    rtol=1e-14,
-                )
-            )
-        previous = candidate
-    raise RuntimeError("score interval could not bracket a confidence bound")
+    if excess(endpoint) < 0.0:
+        raise RuntimeError("score interval could not bracket a confidence bound")
+    inner = outer = endpoint
+    while excess(inner) >= 0.0:
+        outer = inner
+        inner = observed + (inner - observed) / 2.0
+        if inner == observed:
+            break  # rejection holds arbitrarily close to the estimate
+    return float(
+        brentq(excess, min(inner, outer), max(inner, outer), xtol=1e-12, rtol=1e-14)
+    )
 
 
 def score_difference_interval(

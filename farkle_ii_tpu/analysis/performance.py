@@ -123,30 +123,26 @@ def estimate_one_k(
 
 
 def pareto_membership(values: np.ndarray, strategies: np.ndarray) -> np.ndarray:
-    """Exact Pareto frontier membership over per-k delta vectors."""
+    """Exact Pareto frontier membership over per-k delta vectors.
+
+    A strategy is a member iff no other point weakly dominates it (``>=`` on
+    every axis with ``>`` on at least one); identical duplicate vectors never
+    dominate each other, so all copies stay members. Computed as a vectorized
+    all-pairs domination test, blocked over candidates to bound the pairwise
+    intermediate at ~2^24 elements (order-independent, so no sort needed).
+    """
     count = len(strategies)
-    membership = np.zeros(count, dtype=bool)
     if count == 0:
-        return membership
-    order = np.lexsort((strategies, -values[:, 0]))
-    frontier: list[int] = []
-    for candidate in order:
-        point = values[candidate]
-        dominated = False
-        retained: list[int] = []
-        for incumbent in frontier:
-            ip = values[incumbent]
-            if np.all(ip >= point) and np.any(ip > point):
-                dominated = True
-                break
-            if not (np.all(point >= ip) and np.any(point > ip)):
-                retained.append(incumbent)
-        if dominated:
-            continue
-        frontier = retained
-        frontier.append(int(candidate))
-    membership[np.asarray(frontier, dtype=int)] = True
-    return membership
+        return np.zeros(0, dtype=bool)
+    values = np.asarray(values)
+    dominated = np.zeros(count, dtype=bool)
+    block = max(1, (1 << 24) // (count * max(1, values.shape[1])))
+    for start in range(0, count, block):
+        cand = values[start : start + block]  # (c, d)
+        weakly_above = (values[:, None, :] >= cand[None, :, :]).all(axis=-1)  # (n, c)
+        strictly_above = (values[:, None, :] > cand[None, :, :]).any(axis=-1)
+        dominated[start : start + block] = (weakly_above & strictly_above).any(axis=0)
+    return ~dominated
 
 
 def across_k_estimates(

@@ -54,6 +54,9 @@ RETIRED_CONFIG_KEYS: dict[str, str] = {
     "analysis.meta_random_if_I2_gt": "replaced by cross-seed stability diagnostics",
     "analysis.meta_max_other_seeds": "replaced by sim.seed_list",
     "analysis.meta_comparison_seed": "replaced by sim.seed_list",
+    "analysis.pooling_weights": "moved to k_aggregation.method",
+    "analysis.pooling_weights_by_k": "moved to k_aggregation.k_weights",
+    "trueskill.pooled_weights_by_k": "replaced by canonical root/k TrueSkill ratings",
     "analysis.k_aggregation_method": "moved to k_aggregation.method",
     "analysis.k_weights": "moved to k_aggregation.k_weights",
     "analysis.agreement_include_combined": "replaced by selection-conditioned agreement",
@@ -86,6 +89,7 @@ RETIRED_CONFIG_KEYS.update(
             "disable_agreement",
             "run_trueskill",
             "run_head2head",
+            "run_rng",
             "run_game_stats",
             "run_hgb",
             "run_frequentist",

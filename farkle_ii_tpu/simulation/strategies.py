@@ -25,6 +25,7 @@ import re
 from dataclasses import dataclass, field
 from enum import Enum
 from functools import lru_cache
+from itertools import product
 from typing import Any, Iterator, Mapping, Sequence
 
 import numpy as np
@@ -210,41 +211,39 @@ def iter_strategy_combos(
     disabled consideration contributes exactly one grid point. ``require_both``
     varies only when both considerations are enabled; favor choices follow
     :func:`_favor_options`. The enumeration order *is* the strategy-id
-    assignment, so it is part of the determinism contract.
+    assignment (flags outermost in field order ``sf, so, cs, cd``; then
+    ``st, dt, hd, rs, rb, favor`` with favor fastest) — matching the
+    reference's id contract (strategies.py:345) while the per-flag value
+    axes are resolved up front and crossed with ``itertools.product``.
     """
-    for sf in smart_five_opts:
-        smart_one_candidates = [
-            so
-            for so in smart_one_opts
-            if (sf or not so) and (allowed_smart_pairs is None or (sf, so) in allowed_smart_pairs)
-        ]
-        if not smart_one_candidates:
+    for sf, so, cs, cd in product(
+        smart_five_opts, smart_one_opts, consider_score_opts, consider_dice_opts
+    ):
+        if so and not sf:
+            continue  # smart_one requires smart_five (tuple invariant)
+        if allowed_smart_pairs is not None and (sf, so) not in allowed_smart_pairs:
             continue
-        for so in smart_one_candidates:
-            for cs in consider_score_opts:
-                score_values = score_thresholds if cs else [inactive_score_threshold]
-                for cd in consider_dice_opts:
-                    dice_values = dice_thresholds if cd else [inactive_dice_threshold]
-                    rb_values = [True, False] if (cs and cd) else [False]
-                    favor_choices = _favor_options(sf, cs, cd)
-                    for st in score_values:
-                        for dt in dice_values:
-                            for hd in auto_hot_dice_opts:
-                                for rs in run_up_score_opts:
-                                    for rb in rb_values:
-                                        for fv in favor_choices:
-                                            yield (
-                                                int(st),
-                                                int(dt),
-                                                bool(sf),
-                                                bool(so),
-                                                bool(cs),
-                                                bool(cd),
-                                                bool(rb),
-                                                bool(hd),
-                                                bool(rs),
-                                                fv,
-                                            )
+        value_axes = (
+            score_thresholds if cs else (inactive_score_threshold,),
+            dice_thresholds if cd else (inactive_dice_threshold,),
+            auto_hot_dice_opts,
+            run_up_score_opts,
+            (True, False) if cs and cd else (False,),
+            _favor_options(sf, cs, cd),
+        )
+        for st, dt, hd, rs, rb, fv in product(*value_axes):
+            yield (
+                int(st),
+                int(dt),
+                bool(sf),
+                bool(so),
+                bool(cs),
+                bool(cd),
+                bool(rb),
+                bool(hd),
+                bool(rs),
+                fv,
+            )
 
 
 def build_stop_at_strategy(

@@ -1,14 +1,24 @@
 """Deterministic precision -> workload resolution (Wilson screening contract).
 
-Semantics-parity port of the reference planner
+Same statistical contract as the reference planner
 (``/root/reference/src/farkle/simulation/workload_planner.py:77-193``): the
-screening precision contract (worst-case full Wilson interval width <=
-``resolution_delta`` at ``confidence``) is resolved by bisection into a
-minimum shuffle count, rounded up into ``batch_count`` equal contiguous
-deterministic batches of at least ``min_shuffles_per_batch`` shuffles. The
-resulting plan is the recovery/checkpoint unit contract for the whole
-simulation layer; a configured shuffle cap can block scheduling
-(``WorkloadCapExceeded``) before any compute is spent.
+screening precision target (worst-case full Wilson interval width <=
+``resolution_delta`` at ``confidence``) resolves to a minimum shuffle count,
+rounded up into ``batch_count`` equal contiguous deterministic batches of at
+least ``min_shuffles_per_batch`` shuffles each. The resulting plan is the
+recovery/checkpoint unit contract for the whole simulation layer; a
+configured shuffle cap can block scheduling (:class:`WorkloadCapExceeded`)
+before any compute is spent.
+
+Implementation notes (this module's own derivation, not the reference's
+doubling+bisection): the Wilson width at sample size ``n`` is maximized at
+``p = 1/2``, where it collapses to the closed form ``z / sqrt(n + z^2)``
+(substitute ``p(1-p) = 1/4`` into the interval radius and simplify). For odd
+``n`` the nearest achievable estimate is ``floor(n/2)/n``, which only
+shrinks the width, so ``ceil(z^2/delta^2 - z^2)`` from inverting the closed
+form is an upper bound on the answer; the exact minimum is found by walking
+down while the achievable-width predicate still holds (the same predicate
+the width function exposes, so the two can never disagree).
 """
 
 from __future__ import annotations
@@ -24,9 +34,59 @@ WORKLOAD_PLAN_VERSION = 1
 CAP_CONFIG_KEY = "screening.max_shuffles_per_root_k"
 
 
+def _z_score(confidence: float) -> float:
+    if not 0.0 < confidence < 1.0:
+        raise ValueError(f"confidence must lie strictly inside (0, 1), got {confidence!r}")
+    return float(norm.ppf(0.5 + confidence / 2.0))
+
+
+def _require_int(value: object, name: str, *, minimum: int) -> int:
+    """Reject bools and non-ints (bool is an int subclass in Python)."""
+    if isinstance(value, bool) or not isinstance(value, int) or value < minimum:
+        article = "a positive integer" if minimum == 1 else f"an integer of at least {minimum}"
+        raise ValueError(f"{name} must be {article}")
+    return value
+
+
+def worst_case_wilson_width(n: int, *, confidence: float = 0.95) -> float:
+    """Maximum full Wilson interval width over all success counts at size n.
+
+    The width is symmetric in ``p -> 1 - p`` and maximized at ``p = 1/2``;
+    the achievable worst case at size ``n`` is therefore ``floor(n/2)/n``
+    successes (identical width to ``ceil(n/2)/n`` by symmetry).
+    """
+    _require_int(n, "n", minimum=1)
+    z = _z_score(confidence)
+    z2 = z * z
+    p = (n // 2) / n
+    half = z * math.sqrt(p * (1.0 - p) / n + z2 / (4 * n * n))
+    return 2.0 * half / (1.0 + z2 / n)
+
+
+def minimum_shuffles_for_resolution(
+    resolution_delta: float, *, confidence: float = 0.95
+) -> int:
+    """Smallest sample size whose worst-case Wilson width meets the target."""
+    if not 0.0 < resolution_delta < 1.0:
+        raise ValueError(f"resolution_delta must lie strictly inside (0, 1), got {resolution_delta!r}")
+    z2 = _z_score(confidence) ** 2
+    # Exact-p closed form: width(n) = z / sqrt(n + z^2)  =>  n >= z^2/d^2 - z^2.
+    # Odd n only shrink the achievable width, so this is an upper bound.
+    n = max(1, math.ceil(z2 / (resolution_delta * resolution_delta) - z2))
+    while worst_case_wilson_width(n, confidence=confidence) > resolution_delta:
+        n += 1  # guard against ceil landing one short through float rounding
+    while n > 1 and worst_case_wilson_width(n - 1, confidence=confidence) <= resolution_delta:
+        n -= 1
+    return n
+
+
 @dataclass(frozen=True, slots=True)
 class TournamentWorkloadPlan:
-    """Resolved work and precision contract for one root/player-count cell."""
+    """Resolved work and precision contract for one root/player-count cell.
+
+    Field names are the on-disk plan JSON schema (an artifact contract shared
+    with the reference's plan files) — do not rename.
+    """
 
     root_seed: int
     k: int
@@ -54,11 +114,12 @@ class TournamentWorkloadPlan:
 
     def with_games_per_second(self, games_per_second: float) -> "TournamentWorkloadPlan":
         if not math.isfinite(games_per_second) or games_per_second <= 0.0:
-            raise ValueError("games_per_second must be finite and positive")
+            raise ValueError(f"games_per_second must be a finite positive rate, got {games_per_second!r}")
+        rate = float(games_per_second)
         return replace(
             self,
-            projected_games_per_second=float(games_per_second),
-            projected_runtime_seconds=self.required_games / float(games_per_second),
+            projected_games_per_second=rate,
+            projected_runtime_seconds=self.required_games / rate,
         )
 
     def to_dict(self) -> dict[str, object]:
@@ -71,48 +132,10 @@ class WorkloadCapExceeded(RuntimeError):
     def __init__(self, plan: TournamentWorkloadPlan) -> None:
         self.plan = plan
         super().__init__(
-            f"Required {plan.required_shuffles} shuffles for root={plan.root_seed}, "
-            f"k={plan.k}, but {CAP_CONFIG_KEY}={plan.shuffle_cap}. "
-            f"Raise {CAP_CONFIG_KEY} to at least {plan.required_shuffles} and resume."
+            f"cell root={plan.root_seed} k={plan.k} needs {plan.required_shuffles} shuffles "
+            f"but {CAP_CONFIG_KEY} caps it at {plan.shuffle_cap}; raise the cap to "
+            f"at least {plan.required_shuffles} and resume"
         )
-
-
-def worst_case_wilson_width(n: int, *, confidence: float = 0.95) -> float:
-    """Maximum full Wilson interval width over all success counts at size n."""
-    if isinstance(n, bool) or not isinstance(n, int) or n < 1:
-        raise ValueError("n must be a positive integer")
-    if not 0.0 < confidence < 1.0:
-        raise ValueError("confidence must be between 0 and 1")
-    z = float(norm.ppf(0.5 + confidence / 2.0))
-    z2 = z * z
-
-    def width(successes: int) -> float:
-        p = successes / n
-        return 2.0 * (z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n)
-
-    # width is maximized at p = 1/2 (take both floor/ceil for odd n)
-    return max(width(n // 2), width((n + 1) // 2))
-
-
-def minimum_shuffles_for_resolution(
-    resolution_delta: float, *, confidence: float = 0.95
-) -> int:
-    """Smallest sample size whose worst-case Wilson width meets the target."""
-    if not 0.0 < resolution_delta < 1.0:
-        raise ValueError("resolution_delta must be between 0 and 1")
-    if not 0.0 < confidence < 1.0:
-        raise ValueError("confidence must be between 0 and 1")
-    lower, upper = 0, 1
-    while worst_case_wilson_width(upper, confidence=confidence) > resolution_delta:
-        lower = upper
-        upper *= 2
-    while lower + 1 < upper:
-        mid = (lower + upper) // 2
-        if worst_case_wilson_width(mid, confidence=confidence) <= resolution_delta:
-            upper = mid
-        else:
-            lower = mid
-    return upper
 
 
 def plan_tournament_workload(
@@ -128,33 +151,20 @@ def plan_tournament_workload(
     projected_games_per_second: float | None = None,
 ) -> TournamentWorkloadPlan:
     """Resolve precision, batching, game count, cap state for one cell."""
-    if isinstance(k, bool) or not isinstance(k, int) or k < 2:
-        raise ValueError("k must be an integer of at least 2")
-    if (
-        isinstance(strategy_count, bool)
-        or not isinstance(strategy_count, int)
-        or strategy_count < k
-        or strategy_count % k
-    ):
-        raise ValueError("strategy_count must be a positive multiple of k")
-    if isinstance(batch_count, bool) or not isinstance(batch_count, int) or batch_count < 2:
-        raise ValueError("batch_count must be an integer of at least 2")
-    if (
-        isinstance(min_shuffles_per_batch, bool)
-        or not isinstance(min_shuffles_per_batch, int)
-        or min_shuffles_per_batch < 1
-    ):
-        raise ValueError("min_shuffles_per_batch must be a positive integer")
-    if shuffle_cap is not None and (
-        isinstance(shuffle_cap, bool) or not isinstance(shuffle_cap, int) or shuffle_cap < 1
-    ):
-        raise ValueError("shuffle_cap must be positive when configured")
+    _require_int(k, "k", minimum=2)
+    _require_int(strategy_count, "strategy_count", minimum=k)
+    if strategy_count % k:
+        raise ValueError(f"strategy_count ({strategy_count}) must divide evenly into {k}-seat tables")
+    _require_int(batch_count, "batch_count", minimum=2)
+    _require_int(min_shuffles_per_batch, "min_shuffles_per_batch", minimum=1)
+    if shuffle_cap is not None:
+        _require_int(shuffle_cap, "shuffle_cap", minimum=1)
 
     unrounded = minimum_shuffles_for_resolution(resolution_delta, confidence=confidence)
-    shuffles_per_batch = max(min_shuffles_per_batch, math.ceil(unrounded / batch_count))
-    required_shuffles = batch_count * shuffles_per_batch
-    games_per_shuffle = strategy_count // k
-    cap_exceeded = shuffle_cap is not None and required_shuffles > shuffle_cap
+    per_batch = max(min_shuffles_per_batch, -(-unrounded // batch_count))
+    total_shuffles = batch_count * per_batch
+    capped = shuffle_cap is not None and total_shuffles > shuffle_cap
+
     plan = TournamentWorkloadPlan(
         root_seed=int(root_seed),
         k=k,
@@ -162,24 +172,22 @@ def plan_tournament_workload(
         confidence=float(confidence),
         resolution_delta=float(resolution_delta),
         required_shuffles_unrounded=unrounded,
-        required_shuffles=required_shuffles,
+        required_shuffles=total_shuffles,
         batch_count=batch_count,
-        shuffles_per_batch=shuffles_per_batch,
+        shuffles_per_batch=per_batch,
         batch_construction="equal_contiguous",
-        games_per_shuffle=games_per_shuffle,
-        required_games=required_shuffles * games_per_shuffle,
-        achieved_resolution=worst_case_wilson_width(required_shuffles, confidence=confidence),
+        games_per_shuffle=strategy_count // k,
+        required_games=total_shuffles * (strategy_count // k),
+        achieved_resolution=worst_case_wilson_width(total_shuffles, confidence=confidence),
         shuffle_cap=shuffle_cap,
-        cap_exceeded=cap_exceeded,
+        cap_exceeded=capped,
         achieved_resolution_at_cap=(
-            worst_case_wilson_width(shuffle_cap, confidence=confidence)
-            if cap_exceeded and shuffle_cap is not None
-            else None
+            worst_case_wilson_width(shuffle_cap, confidence=confidence) if capped else None
         ),
     )
-    if projected_games_per_second is not None:
-        plan = plan.with_games_per_second(projected_games_per_second)
-    return plan
+    if projected_games_per_second is None:
+        return plan
+    return plan.with_games_per_second(projected_games_per_second)
 
 
 def write_workload_plan(path: Path, plan: TournamentWorkloadPlan) -> None:

@@ -26,6 +26,9 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
 
+# optional sys.monitoring line-coverage gate (FARKLE_COV_THRESHOLD=NN)
+pytest_plugins = ["tests.covgate_plugin"]
+
 
 def pytest_addoption(parser):
     parser.addoption(
