@@ -56,7 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from farkle_ii_tpu.ops.scoring import counts_from_faces_flat, score_counts_flat
-from farkle_ii_tpu.ops.threefry import roll_dice_words
+from farkle_ii_tpu.ops.threefry import roll_dice_words, roll_faces_1h
 
 ROLL_LIMIT = 1000
 DEFAULT_TARGET_SCORE = 10_000
@@ -317,17 +317,92 @@ def _smart_discards_flat(
     return jnp.where(take, best_d5, 0), jnp.where(take, best_d1, 0)
 
 
+# Static candidate priorities for the smart-discard scan. The packed-rank
+# chain in _smart_discards_flat orders candidates by rank_base + a constant
+# per-candidate offset, so the relative order of candidates never depends on
+# the data — only on the favor mode. Ordering the offsets once (host-side,
+# here) replaces the rank arithmetic with one constant-select per candidate.
+#   favor_score offsets: -399*d5 - 799*d1  (descending)
+#   favor_dice offsets: (2^22-50)*d5 + (2^22-100)*d1  (descending)
+_PRIO_FS = {
+    (0, 0): 8, (1, 0): 7, (2, 0): 6, (0, 1): 5, (1, 1): 4,
+    (2, 1): 3, (0, 2): 2, (1, 2): 1, (2, 2): 0,
+}
+_PRIO_FD = {
+    (2, 2): 8, (2, 1): 7, (1, 2): 6, (2, 0): 5, (1, 1): 4,
+    (0, 2): 3, (1, 0): 2, (0, 1): 1, (0, 0): 0,
+}
+
+
+def _smart_discards_flat_prio(
+    *, raw_score, raw_used, sfives, sones, roll_n, turn_score,
+    score_threshold, dice_threshold, flags,
+):
+    """Static-priority twin of :func:`_smart_discards_flat`.
+
+    Selection = highest-priority *valid* candidate, with priorities the
+    compile-time constants above — provably the same choice as the packed
+    rank argmax (rank order across candidates is data-independent; ranks are
+    distinct). Saves the rank_base computation and the per-candidate rank
+    adds in a VPU-issue-bound step.
+    """
+    smart_five = (flags & FLAG_SMART_FIVE) != 0
+    smart_one = (flags & FLAG_SMART_ONE) != 0
+    favor_score = (flags & FLAG_FAVOR_SCORE) != 0
+
+    enabled = smart_five & (raw_used != roll_n) & ((sfives > 0) | (sones > 0))
+    max_d1 = jnp.where(smart_one, sones, 0)
+    consider_score = (flags & FLAG_CONSIDER_SCORE) != 0
+    consider_dice = (flags & FLAG_CONSIDER_DICE) != 0
+    need_both = consider_score & consider_dice & ((flags & FLAG_REQUIRE_BOTH) != 0)
+    base_sa = turn_score + raw_score
+    base_dl = roll_n - raw_used
+
+    best_prio = jnp.full_like(raw_score, -1)
+    best_d5 = jnp.zeros_like(raw_score)
+    best_d1 = jnp.zeros_like(raw_score)
+    for d5c in range(3):
+        for d1c in range(3):
+            delta = 50 * d5c + 100 * d1c
+            valid = (d5c <= sfives) & (d1c <= max_d1) & (raw_score > delta)
+            score_after = base_sa - delta
+            dice_left_after = base_dl + (d5c + d1c)
+            hit_score = consider_score & (score_after >= score_threshold)
+            hit_dice = consider_dice & (dice_left_after <= dice_threshold)
+            bank = jnp.where(need_both, hit_score & hit_dice, hit_score | hit_dice)
+            valid &= ~bank
+            prio = jnp.where(
+                favor_score, _PRIO_FS[(d5c, d1c)], _PRIO_FD[(d5c, d1c)]
+            )
+            take = valid & (prio > best_prio)
+            best_prio = jnp.where(take, prio, best_prio)
+            best_d5 = jnp.where(take, d5c, best_d5)
+            best_d1 = jnp.where(take, d1c, best_d1)
+    take = enabled & (best_prio >= 0)
+    return jnp.where(take, best_d5, 0), jnp.where(take, best_d1, 0)
+
+
 def make_game_step(
     *,
     k: int,
     target_score: int = DEFAULT_TARGET_SCORE,
     max_rounds: int = DEFAULT_MAX_ROUNDS,
+    dice_scheme: str = "1h",
+    discard_impl: str = "prio",
 ):
     """Build the single roll-step body for K-seat games.
 
     Performance notes: per-seat state is K-tuples of flat ``(B,)`` arrays;
     seat reads are unrolled select chains and seat updates unrolled masked
     adds — no dynamic gathers, no ``(B, K)`` carry traffic.
+
+    ``dice_scheme``: ``"1h"`` (default, stream v2) draws six dice from one
+    threefry hash by mixed-radix extraction; ``"2h"`` is the round-1/2
+    stream (two hashes, four full words + two high halves). ``discard_impl``:
+    ``"prio"`` selects the best smart-discard candidate by static priority
+    constants; ``"rank"`` is the packed-rank chain. Both choices change only
+    speed, never rule semantics; dice_scheme changes the dice stream (and
+    therefore outcomes), so it is part of the RNG contract version.
     """
 
     def step(
@@ -372,9 +447,15 @@ def make_game_step(
         # multiply HBM passes over the loop carry.
         roll_n = state.dice_left
         roll_index = gather(state.n_rolls)
-        words = roll_dice_words(
-            k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
-        )
+        if dice_scheme == "1h":
+            faces = roll_faces_1h(
+                k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
+            )
+        else:
+            words = roll_dice_words(
+                k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
+            )
+            faces = [(w % jnp.uint32(6)).astype(jnp.int32) for w in words]
 
         n_rolls = bump(state.n_rolls, 1, active)
         rolls_this_turn = jnp.where(active, state.rolls_this_turn + 1, state.rolls_this_turn)
@@ -385,14 +466,17 @@ def make_game_step(
         # carries), replacing the 36-compare face/count matrix with ~1/3 the
         # vector ops. The step is VPU-issue-bound, so op count is the cost.
         acc = jnp.zeros_like(roll_n)
-        for i, w in enumerate(words):
-            face = (w % jnp.uint32(6)).astype(jnp.int32)  # 0..5
+        for i, face in enumerate(faces):
             acc = acc + jnp.where(roll_n > i, jnp.int32(1) << (face * 4), 0)
         counts = [(acc >> (4 * f)) & 15 for f in range(6)]
         raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
 
         # ---- smart discards ------------------------------------------------
-        d5, d1 = _smart_discards_flat(
+        discards = (
+            _smart_discards_flat_prio if discard_impl == "prio"
+            else _smart_discards_flat
+        )
+        d5, d1 = discards(
             raw_score=raw_score, raw_used=raw_used, sfives=sfives, sones=sones,
             roll_n=roll_n, turn_score=state.turn_score,
             score_threshold=st, dice_threshold=dt, flags=flags,
@@ -649,6 +733,8 @@ def make_game_step_packed(
     k: int,
     target_score: int = DEFAULT_TARGET_SCORE,
     max_rounds: int = DEFAULT_MAX_ROUNDS,
+    dice_scheme: str = "1h",
+    discard_impl: str = "prio",
 ):
     """Packed-carry twin of :func:`make_game_step` (same rule algebra)."""
     if not packed_eligible(k, max_rounds):
@@ -690,12 +776,17 @@ def make_game_step_packed(
         # ---- roll (flat formulation; see make_game_step) -----------------
         roll_n = dice_left
         roll_index = gather(s.n_rolls)
-        words = roll_dice_words(
-            k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
-        )
+        if dice_scheme == "1h":
+            faces0 = roll_faces_1h(
+                k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
+            )
+        else:
+            words = roll_dice_words(
+                k0, k1, roll_index.astype(jnp.uint32), seat.astype(jnp.uint32)
+            )
+            faces0 = [(w % jnp.uint32(6)).astype(jnp.int32) for w in words]
         faces = [
-            jnp.where(roll_n > i, (w % jnp.uint32(6)).astype(jnp.int32) + 1, 0)
-            for i, w in enumerate(words)
+            jnp.where(roll_n > i, f + 1, 0) for i, f in enumerate(faces0)
         ]
         n_rolls = bump(s.n_rolls, 1, active)
         rolls_this_turn = ((ctrl >> 7) & 1023) + active.astype(jnp.int32)
@@ -703,7 +794,11 @@ def make_game_step_packed(
         counts = counts_from_faces_flat(faces)
         raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
 
-        d5, d1 = _smart_discards_flat(
+        discards = (
+            _smart_discards_flat_prio if discard_impl == "prio"
+            else _smart_discards_flat
+        )
+        d5, d1 = discards(
             raw_score=raw_score, raw_used=raw_used, sfives=sfives, sones=sones,
             roll_n=roll_n, turn_score=s.turn_score,
             score_threshold=st, dice_threshold=dt, flags=flags,
@@ -914,6 +1009,8 @@ def play_games(
     compact_ratios: tuple = _COMPACT_RATIOS,
     cond_check_every: int = _COND_CHECK_EVERY,
     compact_take_impl: str = "partition",
+    dice_scheme: str = "1h",
+    discard_impl: str = "prio",
 ) -> GameResult:
     """Play a full batch of K-seat games to completion. Jit-compatible.
 
@@ -934,10 +1031,14 @@ def play_games(
     use_packed = packed and packed_eligible(k, max_rounds)
     if use_packed:
         step = make_game_step_packed(
-            k=k, target_score=target_score, max_rounds=max_rounds
+            k=k, target_score=target_score, max_rounds=max_rounds,
+            dice_scheme=dice_scheme, discard_impl=discard_impl,
         )
     else:
-        step = make_game_step(k=k, target_score=target_score, max_rounds=max_rounds)
+        step = make_game_step(
+            k=k, target_score=target_score, max_rounds=max_rounds,
+            dice_scheme=dice_scheme, discard_impl=discard_impl,
+        )
     # Absolute backstop: every turn ends within ROLL_LIMIT rolls and there are
     # at most (max_rounds * k + k) turns per game.
     max_steps = (max_rounds + 1) * k * (ROLL_LIMIT + 2)

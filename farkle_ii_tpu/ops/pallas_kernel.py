@@ -45,7 +45,7 @@ from farkle_ii_tpu.ops.game_kernel import (
     finalize,
 )
 from farkle_ii_tpu.ops.scoring import counts_from_faces_flat, score_counts_flat
-from farkle_ii_tpu.ops.threefry import roll_dice_words
+from farkle_ii_tpu.ops.threefry import roll_faces_1h
 
 LANES = 128
 
@@ -127,8 +127,7 @@ def _game_step_tiled(
     roll_index = _select_seat(nr, seat).astype(jnp.uint32)
     key0 = consts["k0"]
     key1 = consts["k1"]
-    words = roll_dice_words(key0, key1, roll_index, seat.astype(jnp.uint32))
-    dice = [(w % jnp.uint32(6)).astype(jnp.int32) + 1 for w in words]
+    dice = [f + 1 for f in roll_faces_1h(key0, key1, roll_index, seat.astype(jnp.uint32))]
     faces = [jnp.where(roll_n > lane, d, 0) for lane, d in enumerate(dice)]
 
     if debug_stage == 1:

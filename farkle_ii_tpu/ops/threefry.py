@@ -79,17 +79,53 @@ def roll_dice_words(
     return [w0, w1, w2, w3, w0 >> 16, w1 >> 16]
 
 
+def roll_faces_1h(
+    k0: jax.Array,
+    k1: jax.Array,
+    roll_index: jax.Array,
+    seat_index: jax.Array | int = 0,
+) -> list[jax.Array]:
+    """Six per-die faces (0..5) from ONE threefry hash (dice stream v2).
+
+    Counter words: ``x0 = roll_index``, ``x1 = seat_index`` — one block per
+    (seat, roll). Each 32-bit output word yields three dice by mixed-radix
+    base-6 extraction (``w % 6``, ``w//6 % 6``, ``w//36 % 6``): the joint
+    triple is ``w mod 216`` whose bias is ``(2^32 mod 216)/2^32 ~ 1.5e-8`` —
+    three orders of magnitude below the 16-bit-half bias the two-hash scheme
+    already accepted, at half the hash cost (the v1 scheme's two hashes were
+    ~17% of the roll-step's vector ops). XLA lowers the constant divisions
+    to multiply-high sequences and CSEs the shared quotients, so extraction
+    is also cheaper than v1's six independent ``% 6``.
+    """
+    r = jnp.asarray(roll_index, jnp.uint32)
+    salt = jnp.asarray(seat_index, jnp.uint32)
+    w0, w1 = threefry2x32(k0, k1, r, salt)
+    faces = []
+    for w in (w0, w1):
+        u = w
+        for _ in range(3):
+            faces.append((u % jnp.uint32(6)).astype(jnp.int32))
+            u = u // jnp.uint32(6)
+    return faces
+
+
 def roll_dice(
     k0: jax.Array,
     k1: jax.Array,
     roll_index: jax.Array,
     seat_index: jax.Array | int = 0,
+    scheme: str = "1h",
 ) -> jax.Array:
     """Six dice in [1, 6] per (game key, seat, roll). Shapes: (B,) -> (B, 6).
 
-    Deterministic pure function of ``(key, seat_index, roll_index)`` — the
-    in-kernel leaf of the coordinate-addressed RNG contract.
+    Deterministic pure function of ``(key, seat_index, roll_index, scheme)``
+    — the in-kernel leaf of the coordinate-addressed RNG contract. The
+    default ``"1h"`` scheme (stream v2) matches the production kernel; pass
+    ``"2h"`` for the round-1/2 stream.
     """
+    if scheme == "1h":
+        faces = roll_faces_1h(k0, k1, roll_index, seat_index)
+        return jnp.stack(faces, axis=-1) + 1
     words = roll_dice_words(k0, k1, roll_index, seat_index)
     dice = jnp.stack(words, axis=-1)  # (B, 6) uint32
     return (dice % jnp.uint32(6)).astype(jnp.int32) + 1

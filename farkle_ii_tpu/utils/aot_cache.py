@@ -60,6 +60,16 @@ def cached_compile(
     cache_dir = Path(cache_dir) if cache_dir is not None else _DEFAULT_CACHE_DIR
     jitted = fn if hasattr(fn, "trace") else jax.jit(fn, static_argnums=static_argnums)
     traced = jitted.trace(*example_args)
+
+    if len(jax.devices()) > 1:
+        # The cache exists to skip the single-chip axon backend's remote
+        # lowering tax. On multi-device hosts (virtual CPU meshes in tests
+        # and the multichip dryrun) XLA:CPU AOT deserialization yields an
+        # executable that demands one shard per local device even for
+        # single-device programs ("Expected args ... to have N shards"),
+        # so a cache HIT would crash at call time. Compile fresh instead.
+        logger.debug("aot_cache bypassed: %d local devices", len(jax.devices()))
+        return traced.lower().compile()
     key = cache_key_for_trace(traced, extra=extra_key)
     path = cache_dir / f"{key}.aotx"
 

@@ -57,17 +57,22 @@ inline void threefry2x32(uint32_t k0, uint32_t k1, uint32_t x0, uint32_t x1,
     *o1 = x1;
 }
 
-// six dice words per (seat, roll): counter words (roll, seat*4 + block),
-// words = [w0, w1, w2, w3, w0>>16, w1>>16] (ops/threefry.roll_dice_words)
+// dice stream v2: ONE hash per (seat, roll) — counter words (roll, seat);
+// each 32-bit word yields three dice by mixed-radix base-6 extraction
+// (ops/threefry.roll_faces_1h)
 inline void roll_faces(uint32_t k0, uint32_t k1, uint32_t roll_index,
                        uint32_t seat, int dice_left, int32_t faces[6]) {
-    uint32_t salt = seat * 4;
-    uint32_t w0, w1, w2, w3;
-    threefry2x32(k0, k1, roll_index, salt, &w0, &w1);
-    threefry2x32(k0, k1, roll_index, salt + 1, &w2, &w3);
-    const uint32_t words[6] = {w0, w1, w2, w3, w0 >> 16, w1 >> 16};
-    for (int i = 0; i < 6; ++i)
-        faces[i] = (i < dice_left) ? static_cast<int32_t>(words[i] % 6u) + 1 : 0;
+    uint32_t w0, w1;
+    threefry2x32(k0, k1, roll_index, seat, &w0, &w1);
+    uint32_t words[2] = {w0, w1};
+    int i = 0;
+    for (uint32_t w : words) {
+        uint32_t u = w;
+        for (int j = 0; j < 3; ++j, ++i) {
+            faces[i] = (i < dice_left) ? static_cast<int32_t>(u % 6u) + 1 : 0;
+            u /= 6u;
+        }
+    }
 }
 
 // ── scoring (same algebra as farkle_scoring.cpp) ────────────────────────────

@@ -86,12 +86,15 @@ class _CoverageGate:
             hit = self.hits.get(str(path), set()) & universe
             total_lines += len(universe)
             total_hit += len(hit)
-            per_file[str(path.relative_to(_PACKAGE_DIR))] = {
+            entry = {
                 "lines": len(universe),
                 "covered": len(hit),
                 "pct": round(100.0 * len(hit) / len(universe), 1),
                 "missing": sorted(universe - hit)[:80],
             }
+            if os.environ.get("FARKLE_COV_DUMP"):
+                entry["covered_lines"] = sorted(hit)
+            per_file[str(path.relative_to(_PACKAGE_DIR))] = entry
         pct = 100.0 * total_hit / total_lines if total_lines else 0.0
         return {
             "threshold": self.threshold,

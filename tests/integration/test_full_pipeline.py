@@ -48,6 +48,7 @@ def cfg(tmp_path_factory):
     return C.assign_config_sha(cfg)
 
 
+@pytest.mark.slow
 def test_run_all_stages(cfg):
     R.run_simulation(cfg, progress=lambda m: None)
     result = run_all(cfg)

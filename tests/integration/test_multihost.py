@@ -41,6 +41,7 @@ def test_host_partition_env_override(monkeypatch):
     assert owns_block(7, 3, 4) and not owns_block(6, 3, 4)
 
 
+@pytest.mark.slow
 def test_two_hosts_match_single_host(tmp_path, monkeypatch):
     single = _tiny_cfg(tmp_path, "single")
     out = R.run_simulation(single, progress=lambda m: None)

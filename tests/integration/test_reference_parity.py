@@ -101,6 +101,7 @@ def test_smart_discard_exact_parity_sampled(reference_scoring):
     assert checked == 4000
 
 
+@pytest.mark.slow
 def test_engine_statistical_parity(reference_scoring):
     """Win rates from the reference engine vs our kernel at a matched config.
 

@@ -32,6 +32,7 @@ def cfg(tmp_path):
     return C.assign_config_sha(cfg)
 
 
+@pytest.mark.slow
 def test_full_run_artifacts_and_resume(cfg):
     out = R.run_simulation(cfg, progress=lambda m: None)
     assert out["n_strategies"] == 24
@@ -124,6 +125,7 @@ def test_row_export(cfg):
     np.testing.assert_array_equal(row_wins, wins)
 
 
+@pytest.mark.slow
 def test_force_discards_blocks(cfg):
     R.run_simulation(cfg, progress=lambda m: None)
     out = R.run_simulation(cfg, force=True, progress=lambda m: None)
@@ -178,6 +180,7 @@ def test_watch_game_runs(capsys):
     assert ("Winner" in text) or ("Safety limit" in text)
 
 
+@pytest.mark.slow
 def test_device_fault_block_retry(cfg, monkeypatch, caplog):
     """A device fault mid-block falls back to a nocompact serial retry with
     identical totals (guards the TPU worker-crash mitigation)."""
@@ -237,6 +240,7 @@ def _mini_cfg(tmp_path, sub, mesh_devices):
     return C.assign_config_sha(cfg)
 
 
+@pytest.mark.slow
 def test_mesh_runner_bit_identical_to_single_device(tmp_path):
     """Full runner over the 8-device CPU mesh == single device, bit for bit.
 
@@ -293,6 +297,7 @@ def test_cli_surface(cfg, tmp_path):
     cli._enforce_seed_list_length(one, "two-seed-pipeline")
 
 
+@pytest.mark.slow
 def test_resume_rejects_foreign_block(cfg, caplog):
     """A persisted block whose coordinates don't match the plan is replayed,
     and a tampered block is rejected (corrupted-resume negative test)."""
@@ -321,6 +326,7 @@ def test_resume_rejects_foreign_block(cfg, caplog):
     assert t1.metric_sq_sums.sum() == t2.metric_sq_sums.sum()
 
 
+@pytest.mark.slow
 def test_probed_envelope_overrides_chunk_size(cfg, tmp_path, caplog):
     """The runner sizes device chunks from a probed fault-envelope artifact
     and produces identical results (chunking is execution-only)."""

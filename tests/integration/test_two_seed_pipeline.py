@@ -42,6 +42,7 @@ def cfg(tmp_path_factory):
     return C.assign_config_sha(cfg)
 
 
+@pytest.mark.slow
 def test_pipeline_runs_both_roots_and_pair(cfg):
     health = run_pipeline(cfg)
     assert health["status"] == "ok"

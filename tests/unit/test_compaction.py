@@ -6,6 +6,9 @@ import numpy as np
 
 from farkle_ii_tpu.ops import game_kernel as gk, rng
 from farkle_ii_tpu.simulation import strategies as S
+import pytest
+
+pytestmark = pytest.mark.slow  # >15s each: excluded from `make ci`
 
 
 def test_compacted_equals_plain():

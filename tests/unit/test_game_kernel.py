@@ -178,6 +178,7 @@ def test_smart_discards_flat_matches_grid():
     np.testing.assert_array_equal(np.asarray(grid_d1), np.asarray(flat_d1))
 
 
+@pytest.mark.slow
 def test_packed_carry_matches_unpacked():
     """PackedState loop == GameState loop, every GameResult field."""
     import numpy as np

@@ -9,6 +9,8 @@ from farkle_ii_tpu.ops import game_kernel as gk, rng
 from farkle_ii_tpu.ops.pallas_kernel import play_games_pallas
 from farkle_ii_tpu.simulation import strategies as S
 
+pytestmark = pytest.mark.slow  # >15s each: excluded from `make ci`
+
 
 @pytest.mark.parametrize("k,b", [(2, 256), (5, 128), (3, 200)])  # 200: padding path
 def test_pallas_matches_xla(k, b):

@@ -100,6 +100,7 @@ def test_exact_square_sums_vs_bruteforce(params):
     np.testing.assert_array_equal(acc.metric_sq_sums, expect_sq)
 
 
+@pytest.mark.slow
 def test_batch_split_additivity(params):
     """Playing shuffles in one batch or two must give identical totals."""
     spec = T.TournamentSpec(root_seed=17, k=2, n_strategies=24)
@@ -114,6 +115,7 @@ def test_batch_split_additivity(params):
     assert acc_one.games_completed == acc_two.games_completed
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(params):
     """8-virtual-device shard_map totals == single-device totals exactly."""
     spec = T.TournamentSpec(root_seed=23, k=2, n_strategies=24)
@@ -145,6 +147,7 @@ def test_accumulator_state_roundtrip(params):
     assert restored.games_attempted == 2 * acc.games_attempted
 
 
+@pytest.mark.slow
 def test_permutation_aggregate_equals_generic(params):
     """Gather-based aggregation must equal segment-sum aggregation exactly."""
     spec = T.TournamentSpec(root_seed=31, k=3, n_strategies=24)
