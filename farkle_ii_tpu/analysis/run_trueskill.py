@@ -142,6 +142,36 @@ def _iter_batch_groups(src: Path, k: int):
         yield cur, np.concatenate(strat_parts), np.concatenate(rank_parts)
 
 
+def _rate_games_scalar(
+    env: TrueSkillEnv,
+    strategies: np.ndarray,
+    ranks: np.ndarray,
+    *,
+    ratings: dict[int, Rating] | None = None,
+) -> dict[int, Rating]:
+    """Per-game sequential rating pass (reference semantics)."""
+    ratings = dict(ratings or {})
+    for g in range(strategies.shape[0]):
+        sids = strategies[g]
+        current = [ratings.get(int(s)) or env.create_rating() for s in sids]
+        updated = env.rate(current, [int(r) for r in ranks[g]])
+        for s, r in zip(sids, updated):
+            ratings[int(s)] = r
+    return ratings
+
+
+def _wave_schedule_py(dense: np.ndarray, n_codes: int) -> np.ndarray:
+    """Pure-Python twin of native ``wave_schedule`` (toolchain-less fallback)."""
+    last = np.full(n_codes, -1, dtype=np.int32)
+    out = np.zeros(dense.shape[0], dtype=np.int32)
+    for g in range(dense.shape[0]):
+        row = dense[g]
+        w = int(last[row].max()) + 1
+        out[g] = w
+        last[row] = w
+    return out
+
+
 def rate_games(
     env: TrueSkillEnv,
     strategies: np.ndarray,
@@ -149,15 +179,70 @@ def rate_games(
     *,
     ratings: dict[int, Rating] | None = None,
 ) -> dict[int, Rating]:
-    """Sequential rating pass over completed games."""
+    """Wave-batched rating pass, sequentially equivalent to per-game EP.
+
+    The EP pass is order-sensitive only between games that share a strategy:
+    disjoint games commute. Partitioning the stream into "waves" (each
+    strategy at most once per wave, every game in the earliest wave after
+    its conflicts — ``native/wave_schedule.cpp``) makes each wave a
+    player-disjoint batch whose vectorized update
+    (:func:`trueskill_model.rate_2p_vec` / :func:`rate_chain_vec`) equals
+    the sequential result to libm ulps. The reference rates strictly
+    per-game through the external package
+    (``/root/reference/src/farkle/analysis/run_trueskill.py:700``); this is
+    the same model with the inherent serial dependency made explicit.
+    """
     ratings = dict(ratings or {})
-    k = strategies.shape[1]
-    for g in range(strategies.shape[0]):
-        sids = strategies[g]
-        current = [ratings.get(int(s)) or env.create_rating() for s in sids]
-        updated = env.rate(current, [int(r) for r in ranks[g]])
-        for s, r in zip(sids, updated):
-            ratings[int(s)] = r
+    n_games, k = strategies.shape
+    if n_games == 0:
+        return ratings
+    if n_games < 64 or k == 1:
+        return _rate_games_scalar(env, strategies, ranks, ratings=ratings)
+    codes, dense_flat = np.unique(strategies, return_inverse=True)
+    dense = dense_flat.reshape(strategies.shape).astype(np.int32)
+    if (np.sort(dense, axis=1)[:, 1:] == np.sort(dense, axis=1)[:, :-1]).any():
+        # repeated strategy inside a game: gather/scatter aliasing — rare
+        # (real shuffles never repeat); keep exact reference semantics.
+        return _rate_games_scalar(env, strategies, ranks, ratings=ratings)
+    if not (np.sort(ranks, axis=1) == np.arange(1, k + 1)).all():
+        raise ValueError("ranks must be a strict permutation 1..k (no draws)")
+    n_codes = int(len(codes))
+    try:
+        from farkle_ii_tpu import native as _native
+
+        waves = _native.wave_schedule(dense, n_codes)
+    except Exception:  # pragma: no cover - toolchain-less systems
+        waves = _wave_schedule_py(dense, n_codes)
+
+    n_waves_total = int(waves.max()) + 1
+    if k >= 3 and n_games / n_waves_total < 16.0:
+        # tiny waves (few distinct strategies): per-op numpy overhead loses
+        # to the scalar path's per-game early convergence break.
+        return _rate_games_scalar(env, strategies, ranks, ratings=ratings)
+
+    mu = np.full(n_codes, env.mu, dtype=np.float64)
+    sigma = np.full(n_codes, env.sigma, dtype=np.float64)
+    for i, c in enumerate(codes):
+        r = ratings.get(int(c))
+        if r is not None:
+            mu[i] = r.mu
+            sigma[i] = r.sigma
+
+    seat_order = np.argsort(ranks, axis=1, kind="stable")
+    by_wave = np.argsort(waves, kind="stable")
+    bounds = np.searchsorted(waves[by_wave], np.arange(n_waves_total + 1))
+    for w in range(n_waves_total):
+        idx = by_wave[bounds[w] : bounds[w + 1]]
+        rc = np.take_along_axis(dense[idx], seat_order[idx], axis=1)
+        if k == 2:
+            new_mu, new_sigma = TM.rate_2p_vec(env, mu[rc], sigma[rc])
+        else:
+            new_mu, new_sigma = TM.rate_chain_vec(env, mu[rc], sigma[rc])
+        mu[rc] = new_mu
+        sigma[rc] = new_sigma
+
+    for i, c in enumerate(codes):
+        ratings[int(c)] = Rating(float(mu[i]), float(sigma[i]))
     return ratings
 
 

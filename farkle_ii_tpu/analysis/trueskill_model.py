@@ -24,6 +24,9 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import numpy as np
+from scipy.special import erf as _erf_vec
+
 DEFAULT_MU = 25.0
 DEFAULT_SIGMA = DEFAULT_MU / 3.0
 
@@ -221,3 +224,139 @@ class TrueSkillEnv:
                 skill_tau / skill_pi, math.sqrt(1.0 / skill_pi)
             )
         return out
+
+
+# ── vectorized wave updates ───────────────────────────────────────────────────
+# Batched twins of rate_2p / the chain EP, operating on (W, k) arrays of
+# player-disjoint games (one "wave"; see run_trueskill.rate_games). The math
+# per game is identical to the scalar path — including the per-game
+# convergence stop, replicated with an active mask — so wave-batched rating
+# equals sequential rating up to last-ulp libm differences.
+
+
+def _phi_vec(x: np.ndarray) -> np.ndarray:
+    return np.exp(-0.5 * x * x) / math.sqrt(2.0 * math.pi)
+
+
+def _cdf_vec(x: np.ndarray) -> np.ndarray:
+    return 0.5 * (1.0 + _erf_vec(x / math.sqrt(2.0)))
+
+
+def _v_w_win_vec(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (v_win, w_win) with the deep-tail asymptote."""
+    denom = _cdf_vec(t)
+    tail = denom < 1e-300
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = np.where(tail, -t, _phi_vec(t) / np.where(tail, 1.0, denom))
+    return v, v * (v + t)
+
+
+def rate_2p_vec(
+    env: TrueSkillEnv, mu: np.ndarray, sigma: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form two-player update over (W, 2) arrays, winner first."""
+    tau2 = env.tau * env.tau
+    var = sigma * sigma + tau2
+    c2 = var[:, 0] + var[:, 1] + 2.0 * env.beta**2
+    c = np.sqrt(c2)
+    t = (mu[:, 0] - mu[:, 1]) / c
+    v, w = _v_w_win_vec(t)
+    out_mu = np.stack(
+        [mu[:, 0] + (var[:, 0] / c) * v, mu[:, 1] - (var[:, 1] / c) * v], axis=1
+    )
+    shrink = np.maximum(1.0 - var / c2[:, None] * w[:, None], 1e-12)
+    return out_mu, np.sqrt(var * shrink)
+
+
+def rate_chain_vec(
+    env: TrueSkillEnv, mu: np.ndarray, sigma: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Chain-EP update over (W, k) arrays in rank order (k >= 3).
+
+    Same Gauss-Seidel factor sweep, per-game convergence threshold, and
+    marginal extraction as :meth:`TrueSkillEnv.rate`; games whose sweep
+    delta drops below 1e-6 freeze (mask), exactly like the scalar break.
+    """
+    w_games, k = mu.shape
+    tau2 = env.tau * env.tau
+    beta2 = env.beta * env.beta
+    prior_pi = 1.0 / (sigma * sigma + tau2)
+    prior_tau = mu * prior_pi
+    perf_prior_pi = 1.0 / (1.0 / prior_pi + beta2)
+    perf_prior_tau = (prior_tau / prior_pi) * perf_prior_pi
+
+    up_pi = np.zeros((w_games, k - 1))
+    up_tau = np.zeros((w_games, k - 1))
+    down_pi = np.zeros((w_games, k - 1))
+    down_tau = np.zeros((w_games, k - 1))
+    active = np.ones(w_games, dtype=bool)
+
+    for _ in range(60):
+        max_delta = np.zeros(w_games)
+        for j in range(k - 1):
+            pj_pi = perf_prior_pi[:, j].copy()
+            pj_tau = perf_prior_tau[:, j].copy()
+            if j - 1 >= 0:
+                pj_pi += down_pi[:, j - 1]
+                pj_tau += down_tau[:, j - 1]
+            pn_pi = perf_prior_pi[:, j + 1].copy()
+            pn_tau = perf_prior_tau[:, j + 1].copy()
+            if j + 1 <= k - 2:
+                pn_pi += up_pi[:, j + 1]
+                pn_tau += up_tau[:, j + 1]
+
+            var_j = 1.0 / pj_pi
+            mu_j = pj_tau / pj_pi
+            var_n = 1.0 / pn_pi
+            mu_n = pn_tau / pn_pi
+
+            c2 = var_j + var_n
+            c = np.sqrt(c2)
+            t = (mu_j - mu_n) / c
+            v, w = _v_w_win_vec(t)
+            w = np.minimum(w, 1.0 - 1e-12)
+
+            new_mu_j = mu_j + (var_j / c) * v
+            new_var_j = var_j * (1.0 - (var_j / c2) * w)
+            new_mu_n = mu_n - (var_n / c) * v
+            new_var_n = var_n * (1.0 - (var_n / c2) * w)
+
+            m_pi_j = 1.0 / new_var_j - pj_pi
+            m_tau_j = new_mu_j / new_var_j - pj_tau
+            m_pi_n = 1.0 / new_var_n - pn_pi
+            m_tau_n = new_mu_n / new_var_n - pn_tau
+
+            max_delta = np.maximum.reduce(
+                [
+                    max_delta,
+                    np.abs(m_pi_j - up_pi[:, j]),
+                    np.abs(m_tau_j - up_tau[:, j]),
+                    np.abs(m_pi_n - down_pi[:, j]),
+                    np.abs(m_tau_n - down_tau[:, j]),
+                ]
+            )
+            up_pi[:, j] = np.where(active, m_pi_j, up_pi[:, j])
+            up_tau[:, j] = np.where(active, m_tau_j, up_tau[:, j])
+            down_pi[:, j] = np.where(active, m_pi_n, down_pi[:, j])
+            down_tau[:, j] = np.where(active, m_tau_n, down_tau[:, j])
+        active &= max_delta >= 1e-6
+        if not active.any():
+            break
+
+    pi = perf_prior_pi.copy()
+    tau_ = perf_prior_tau.copy()
+    pi[:, : k - 1] += up_pi
+    tau_[:, : k - 1] += up_tau
+    pi[:, 1:] += down_pi
+    tau_[:, 1:] += down_tau
+
+    lik_pi = pi - perf_prior_pi
+    lik_tau = tau_ - perf_prior_tau
+    informative = lik_pi > 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lik_var = np.where(informative, 1.0 / np.where(informative, lik_pi, 1.0), 0.0)
+        lik_mu = np.where(informative, lik_tau * lik_var, 0.0)
+    noisy_var = lik_var + beta2
+    skill_pi = np.where(informative, prior_pi + 1.0 / noisy_var, prior_pi)
+    skill_tau = np.where(informative, prior_tau + lik_mu / noisy_var, prior_tau)
+    return skill_tau / skill_pi, np.sqrt(1.0 / skill_pi)

@@ -211,3 +211,57 @@ def play_games(
     for j, name in enumerate(ENGINE_SEAT_FIELDS):
         result[name] = seat_block[:, :, j].copy()
     return result
+
+
+# ── wave scheduler (native/wave_schedule.cpp) ─────────────────────────────────
+
+_WAVES_SOURCE = (
+    Path(__file__).resolve().parent.parent.parent / "native" / "wave_schedule.cpp"
+)
+
+
+@lru_cache(maxsize=1)
+def _load_waves() -> ctypes.CDLL | None:
+    if not _WAVES_SOURCE.exists():
+        logger.warning("native wave-schedule source missing: %s", _WAVES_SOURCE)
+        return None
+    source_hash = hashlib.sha256(_WAVES_SOURCE.read_bytes()).hexdigest()[:16]
+    lib_path = _CACHE_DIR / f"libfarkle_waves_{source_hash}.so"
+    if not lib_path.exists():
+        _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+        tmp = lib_path.with_suffix(".tmp.so")
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(_WAVES_SOURCE)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+            logger.warning("native wave-schedule build failed (%s)", exc)
+            return None
+        os.replace(tmp, lib_path)
+    lib = ctypes.CDLL(str(lib_path))
+    lib.farkle_wave_schedule.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
+def waves_available() -> bool:
+    return _load_waves() is not None
+
+
+def wave_schedule(codes: np.ndarray, n_codes: int) -> np.ndarray:
+    """Earliest-wave schedule for (G, k) dense strategy codes (see .cpp)."""
+    lib = _load_waves()
+    if lib is None:
+        raise RuntimeError("native wave-schedule library unavailable")
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    if codes.ndim != 2:
+        raise ValueError("codes must have shape (G, k)")
+    g, k = codes.shape
+    out = np.zeros(g, dtype=np.int32)
+    lib.farkle_wave_schedule(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(g), ctypes.c_int32(k), ctypes.c_int32(n_codes),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
