@@ -301,6 +301,13 @@ class TPUConfig:
     # change results
     compact_ratios: list[int] = field(default_factory=lambda: [8, 64, 512])
     cond_check_every: int = 8
+    # recovery blocks played per device dispatch (aggregate-only path). The
+    # roll-step is latency-bound on its dependency chain, so one block is
+    # far too small a batch to fill the pipeline (results/step_cost_k2.json);
+    # grouping m blocks into one play batch with per-block exact aggregation
+    # multiplies throughput. None = auto from the probed fault envelope's
+    # block-group speeds; 1 = per-block dispatch (round-2 behavior).
+    blocks_per_dispatch: int | None = None
 
 
 @dataclass

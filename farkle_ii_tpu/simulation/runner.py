@@ -364,7 +364,7 @@ def run_cell(
         cfg.tpu.fault_envelope_path, n_strategies=len(strategies)
     )
     if envelope is not None:
-        probed = envelope.max_safe_ns(int(n), compact=compact, cap=ns_cap)
+        probed = envelope.best_ns(int(n), compact=compact, cap=ns_cap)
         if probed is not None and probed != ns_device:
             logger.info(
                 "k=%d: device chunk %d shuffles from the probed fault "
@@ -502,6 +502,88 @@ def run_cell(
                 )
         return step_cache[key]
 
+    # block-group dispatch: the roll-step is latency-bound on its dependency
+    # chain (per-iteration cost nearly flat in B, results/step_cost_k2.json),
+    # so one recovery block is far too small a play batch. Group m whole
+    # blocks into ONE device batch with per-block exact aggregation
+    # (T.play_and_aggregate_blocks) — per-block persistence/resume unchanged.
+    group_m = 1
+    nsb = plan.shuffles_per_batch
+    if not with_rows and n_mesh == 1 and nsb <= T.MAX_SHUFFLES_PER_BATCH:
+        cfg_m = cfg.tpu.blocks_per_dispatch
+        if cfg_m is not None:
+            group_m = max(1, int(cfg_m))
+        elif envelope is not None:
+            probed_m = envelope.best_block_group(
+                int(n), nsb=nsb, compact=compact, max_m=plan.batch_count
+            )
+            if probed_m:
+                group_m = probed_m
+                logger.info(
+                    "k=%d: %d blocks per dispatch from the probed envelope "
+                    "(%d shuffles, %d games per device batch)",
+                    n, group_m, group_m * nsb,
+                    group_m * nsb * plan.games_per_shuffle,
+                )
+
+    def group_step_for(m: int, compact_: bool):
+        key = ("group", m, compact_)
+        if key not in step_cache:
+            def fn(p, sh):
+                return T.play_and_aggregate_blocks(
+                    spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
+                    game_kwargs=agg_kwargs,
+                )
+
+            if cfg.tpu.aot_cache:
+                from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+                step_cache[key] = cached_compile(
+                    fn, params, jnp.zeros((m, nsb), dtype=jnp.uint32),
+                    extra_key=f"blkgrp-k{spec.k}-s{spec.n_strategies}"
+                    f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
+                    f"-p{pad_multiple}" + ("" if compact_ else "-nocompact"),
+                )
+            else:
+                step_cache[key] = jax.jit(fn)
+        return step_cache[key]
+
+    def dispatch_group(batch_ids: list[int], *, compact_: bool) -> Any:
+        sh = np.stack(
+            [
+                np.arange(b * nsb, (b + 1) * nsb, dtype=np.uint32)
+                for b in batch_ids
+            ]
+        )
+        return group_step_for(len(batch_ids), compact_)(params, jnp.asarray(sh))
+
+    def absorb_group(batch_ids: list[int], out: Any) -> None:
+        nonlocal games_done
+        try:
+            rows = np.asarray(out)
+        except (jax.errors.JaxRuntimeError, RuntimeError, ValueError):
+            # device fault: replay each block serially without compaction
+            logger.warning(
+                "device fault in k=%d block group %s; replaying per block "
+                "without compaction", n, batch_ids,
+            )
+            for b in batch_ids:
+                absorb_block(b, dispatch_block(b, compact_=False), retried=True)
+            return
+        for i, b in enumerate(batch_ids):
+            acc = T.TournamentAccumulator(len(strategies))
+            acc.absorb(T.unpack_aggregates(rows[i], len(strategies)))
+            acc.check_conservation()
+            _enqueue_block_save(b, acc)
+            total.merge(acc)
+            completed.append(b)
+            games_done += nsb * plan.games_per_shuffle
+        if progress:
+            progress(
+                f"k={n} batches {batch_ids[0] + 1}..{batch_ids[-1] + 1}/"
+                f"{plan.batch_count} ({games_done:,} games)"
+            )
+
     def dispatch_block(batch_id: int, *, compact_: bool) -> list[tuple[int, int, Any]]:
         """Dispatch one deterministic block without waiting for results.
 
@@ -638,17 +720,33 @@ def run_cell(
             sum(1 for b in range(plan.batch_count) if owns_block(b, host_index, host_count)),
             plan.batch_count,
         )
-    inflight: deque[tuple[int, list[tuple[int, int, Any]]]] = deque()
-    for batch_id in range(plan.batch_count):
-        if batch_id in resumed:
-            continue
-        if host_count > 1 and not owns_block(batch_id, host_index, host_count):
-            continue
-        inflight.append((batch_id, dispatch_block(batch_id, compact_=compact)))
+    pending_ids = [
+        b for b in range(plan.batch_count)
+        if b not in resumed
+        and (host_count == 1 or owns_block(b, host_index, host_count))
+    ]
+
+    def _absorb(entry) -> None:
+        if entry[0] == "group":
+            absorb_group(entry[1], entry[2])
+        else:
+            absorb_block(entry[1], entry[2])
+
+    inflight: deque[tuple] = deque()
+    i = 0
+    while i < len(pending_ids):
+        if group_m > 1 and i + group_m <= len(pending_ids):
+            ids = pending_ids[i : i + group_m]
+            inflight.append(("group", ids, dispatch_group(ids, compact_=compact)))
+            i += group_m
+        else:
+            b = pending_ids[i]
+            inflight.append(("block", b, dispatch_block(b, compact_=compact)))
+            i += 1
         if len(inflight) >= PIPELINE_BLOCK_DEPTH:
-            absorb_block(*inflight.popleft())
+            _absorb(inflight.popleft())
     while inflight:
-        absorb_block(*inflight.popleft())
+        _absorb(inflight.popleft())
     _join_writer()
     elapsed = max(time.perf_counter() - start, 1e-9)
     if cfg.tpu.profile_dir:

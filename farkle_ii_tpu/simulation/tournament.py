@@ -378,6 +378,60 @@ def play_and_aggregate(
     return aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
 
 
+def play_and_aggregate_blocks(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices_2d: jax.Array,  # (m_blocks, nsb) uint32, nsb <= 128
+    *,
+    compact: bool = True,
+    pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
+) -> jax.Array:
+    """Play a group of recovery blocks as ONE device batch; aggregate per block.
+
+    Measured on v5e, the roll-step is latency-bound on its dependency chain:
+    per-iteration cost is nearly flat in B (111 us at B=8k and B=33k,
+    ``results/step_cost_k2.json``), so the marginal game is ~100x cheaper
+    than the average one until B reaches ~10^6. A single recovery block is
+    only 18k-111k games — far too small to fill the pipeline. This program
+    therefore plays ``m`` whole blocks in one ``play_games`` batch and slices
+    the aggregation at block boundaries (each block is <= 128 shuffles, so
+    per-block int32 packed aggregates stay exact — no limb carry needed).
+
+    Returns ``(m_blocks, packed_length)`` int32 — one buffer, one fetch,
+    per-block exactness, so the runner's per-block persistence/resume
+    story is unchanged. The reference's process pool has no analogous
+    batch-size physics (run_tournament.py:1337 fans out per worker).
+    """
+    m, nsb = shuffle_indices_2d.shape
+    if nsb > MAX_SHUFFLES_PER_BATCH:
+        raise ValueError(
+            f"block size {nsb} exceeds exact-aggregation bound "
+            f"{MAX_SHUFFLES_PER_BATCH}"
+        )
+    flat = shuffle_indices_2d.reshape(-1)
+    result, seat_ids = play_shuffles(
+        spec, params, flat, compact=compact, pad_multiple=pad_multiple,
+        game_kwargs=game_kwargs,
+    )
+    g = spec.games_per_shuffle
+    per_block = nsb * g
+
+    def agg_one(sl_result, sl_seats):
+        return pack_aggregates(
+            aggregate_from_permutation(
+                sl_result, sl_seats, spec.n_strategies, spec.k
+            )
+        )
+
+    rows = []
+    for b in range(m):
+        lo_i = b * per_block
+        sl_res = jax.tree.map(lambda a: a[lo_i : lo_i + per_block], result)
+        rows.append(agg_one(sl_res, seat_ids[lo_i : lo_i + per_block]))
+    return jnp.stack(rows)
+
+
 def play_and_aggregate_block(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],

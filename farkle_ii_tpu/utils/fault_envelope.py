@@ -31,6 +31,12 @@ class FaultEnvelope:
     n_strategies: int | None
     platform: str | None
     device_kind: str | None
+    # (k, ns, compact) -> measured steady-state games/s (None when the probe
+    # predates speed recording)
+    shape_speed: dict[tuple[int, int, bool], float] = None  # type: ignore[assignment]
+    # (k, m_blocks, nsb, compact) -> games/s for the block-group program
+    # (one dispatch plays m whole recovery blocks; distinct program family)
+    block_groups: dict[tuple[int, int, int, bool], float] = None  # type: ignore[assignment]
 
     def is_probed_ok(self, k: int, ns: int, compact: bool) -> bool:
         return (int(k), int(ns), bool(compact)) in self.ok_shapes
@@ -47,6 +53,40 @@ class FaultEnvelope:
             if kk == int(k) and cc == bool(compact) and ns <= int(cap)
         ]
         return max(candidates) if candidates else None
+
+    def best_ns(self, k: int, *, compact: bool, cap: int) -> int | None:
+        """Fastest probed-fault-free chunk size (falls back to the largest).
+
+        Round-2 review finding: probe timings used to include compile, so
+        the runner could only pick the *largest* safe shape; with
+        steady-state speeds recorded, pick the measured-fastest one.
+        """
+        timed = [
+            (speed, ns)
+            for (kk, ns, cc), speed in (self.shape_speed or {}).items()
+            if kk == int(k) and cc == bool(compact) and ns <= int(cap)
+            and speed is not None
+        ]
+        if timed:
+            return max(timed)[1]
+        return self.max_safe_ns(k, compact=compact, cap=cap)
+
+    def best_block_group(
+        self, k: int, *, nsb: int, compact: bool, max_m: int
+    ) -> int | None:
+        """Fastest probed-safe block-group size m for ``(k, nsb)``.
+
+        Only probes with the exact per-block shuffle count transfer (the
+        program batch shape is m*nsb shuffles). Returns None when nothing
+        matches — the runner then dispatches per block as before.
+        """
+        timed = [
+            (speed, m)
+            for (kk, m, bb, cc), speed in (self.block_groups or {}).items()
+            if kk == int(k) and bb == int(nsb) and cc == bool(compact)
+            and m <= int(max_m)
+        ]
+        return max(timed)[1] if timed else None
 
 
 def load_fault_envelope(
@@ -70,6 +110,20 @@ def load_fault_envelope(
             (int(k), int(ns), bool(c)) for k, ns, c in data["ok_shapes"]
         )
         probed_strategies = data.get("n_strategies")
+        shape_speed = {
+            (int(pr["k"]), int(pr["ns"]), bool(pr["compact"])): float(
+                pr["games_per_sec"]
+            )
+            for pr in data.get("probes", [])
+            if pr.get("ok") and pr.get("games_per_sec")
+        }
+        block_groups = {
+            (
+                int(pr["k"]), int(pr["m"]), int(pr["nsb"]), bool(pr["compact"])
+            ): float(pr["games_per_sec"])
+            for pr in data.get("block_group_probes", [])
+            if pr.get("ok") and pr.get("games_per_sec")
+        }
     except (json.JSONDecodeError, KeyError, TypeError, ValueError) as exc:
         logger.warning("fault envelope %s unusable (%s); ignoring", p, exc)
         return None
@@ -89,4 +143,6 @@ def load_fault_envelope(
         n_strategies=probed_strategies,
         platform=data.get("platform"),
         device_kind=data.get("device_kind"),
+        shape_speed=shape_speed,
+        block_groups=block_groups,
     )

@@ -49,7 +49,72 @@ acc = T.TournamentAccumulator(len(grid))
 acc.absorb(T.unpack_aggregates(np.asarray(out), len(grid)))
 acc.check_conservation()
 assert acc.games_attempted == ns * spec.games_per_shuffle
-print(json.dumps({{"ok": True, "games": acc.games_attempted}}))
+# steady-state timing: the first timed executable per process runs 2-4x
+# slow (tests/FAILURE_NOTES.md), so warm >=3 then take the median of 5
+# forced-fetch runs. Shapes rank within their own probe process only.
+import time
+sh0 = ns
+for _ in range(2):
+    np.asarray(step(params, jnp.arange(sh0, sh0 + ns, dtype=jnp.uint32)))
+    sh0 += ns
+timings = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    np.asarray(step(params, jnp.arange(sh0, sh0 + ns, dtype=jnp.uint32)))
+    timings.append(time.perf_counter() - t0)
+    sh0 += ns
+med = sorted(timings)[2]
+print(json.dumps({{"ok": True, "games": acc.games_attempted,
+                   "steady_s": round(med, 4),
+                   "games_per_sec": round(acc.games_attempted / med)}}))
+"""
+
+
+_BLOCK_GROUP_SNIPPET = r"""
+import sys, json, time
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+import numpy as np
+from farkle_ii_tpu.simulation import strategies as S
+from farkle_ii_tpu.simulation import tournament as T
+from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+k, m, nsb, compact = {k}, {m}, {nsb}, {compact}
+grid = S.build_strategy_grid()
+p = S.pack_strategy_params(grid)
+params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
+          jnp.asarray(p.flags))
+spec = T.TournamentSpec(root_seed=1234, k=k, n_strategies=len(grid))
+fn = cached_compile(
+    lambda prm, sh: T.play_and_aggregate_blocks(
+        spec, prm, sh, compact=compact, pad_multiple=4096),
+    params, jnp.zeros((m, nsb), dtype=jnp.uint32),
+    extra_key=f"blkgrp-k{{k}}-s{{len(grid)}}-m{{m}}x{{nsb}}"
+    + ("" if compact else "-nocompact"),
+)
+sh0 = 0
+def mk():
+    global sh0
+    a = np.arange(sh0, sh0 + m * nsb, dtype=np.uint32)
+    sh0 += m * nsb
+    return jnp.asarray(a.reshape(m, nsb))
+out = np.asarray(fn(params, mk()))
+acc = T.TournamentAccumulator(len(grid))
+for b in range(m):
+    acc.absorb(T.unpack_aggregates(out[b], len(grid)))
+acc.check_conservation()
+assert acc.games_attempted == m * nsb * spec.games_per_shuffle
+for _ in range(2):
+    np.asarray(fn(params, mk()))
+timings = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    np.asarray(fn(params, mk()))
+    timings.append(time.perf_counter() - t0)
+med = sorted(timings)[2]
+print(json.dumps({{"ok": True, "games": acc.games_attempted,
+                   "steady_s": round(med, 4),
+                   "games_per_sec": round(acc.games_attempted / med)}}))
 """
 
 
@@ -104,10 +169,15 @@ def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
     }
 
 
-def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dict:
-    code = _PROBE_SNIPPET.format(repo=str(repo), k=k, ns=ns, compact=compact)
-    games_per_shuffle = None
+def probe_one_block_group(
+    repo: Path, k: int, m: int, nsb: int, compact: bool, timeout: float
+) -> dict:
+    """Probe one block-group shape (one dispatch = m whole recovery blocks)."""
+    code = _BLOCK_GROUP_SNIPPET.format(
+        repo=str(repo), k=k, m=m, nsb=nsb, compact=compact
+    )
     start = time.perf_counter()
+    extra: dict = {}
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
@@ -116,6 +186,41 @@ def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dic
         rc = proc.returncode
         tail = (proc.stdout + proc.stderr)[-2000:]
         ok = rc == 0 and '"ok": true' in proc.stdout.lower()
+        if ok:
+            try:
+                extra = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                pass
+    except subprocess.TimeoutExpired as exc:
+        rc, ok = -9, False
+        tail = f"timeout after {timeout}s: " + str(exc)[-500:]
+    return {
+        "k": k, "m": m, "nsb": nsb, "compact": compact,
+        "ok": ok, "rc": rc,
+        "seconds": round(time.perf_counter() - start, 1),
+        "steady_s": extra.get("steady_s"),
+        "games_per_sec": extra.get("games_per_sec"),
+        "tail": None if ok else tail,
+    }
+
+
+def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dict:
+    code = _PROBE_SNIPPET.format(repo=str(repo), k=k, ns=ns, compact=compact)
+    start = time.perf_counter()
+    extra: dict = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+        rc = proc.returncode
+        tail = (proc.stdout + proc.stderr)[-2000:]
+        ok = rc == 0 and '"ok": true' in proc.stdout.lower()
+        if ok:
+            try:
+                extra = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                pass
     except subprocess.TimeoutExpired as exc:
         rc, ok = -9, False
         tail = f"timeout after {timeout}s: " + str(exc)[-500:]
@@ -126,6 +231,8 @@ def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dic
         "ok": ok,
         "rc": rc,
         "seconds": round(time.perf_counter() - start, 1),
+        "steady_s": extra.get("steady_s"),
+        "games_per_sec": extra.get("games_per_sec"),
         "tail": None if ok else tail,
     }
 
@@ -133,19 +240,31 @@ def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dic
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--k", default="2,3,4,5,6,8,10,12")
-    ap.add_argument("--ns", default="16,43,64")
+    ap.add_argument("--ns", default="",
+                    help="comma-separated single-chunk shuffle counts")
     ap.add_argument("--nocompact-too", action="store_true")
     ap.add_argument(
         "--h2h-batches", default="",
         help="comma-separated 2-seat H2H dispatch batch sizes to probe too",
     )
+    ap.add_argument(
+        "--block-groups", default="",
+        help="comma-separated m values for the block-group program "
+        "(one dispatch = m whole recovery blocks of --nsb shuffles)",
+    )
+    ap.add_argument("--nsb", type=int, default=43,
+                    help="shuffles per recovery block for --block-groups")
     ap.add_argument("--timeout", type=float, default=1200.0)
     ap.add_argument("--out", default="results/fault_envelope.json")
+    ap.add_argument(
+        "--no-merge", action="store_true",
+        help="overwrite instead of merging with an existing artifact",
+    )
     args = ap.parse_args()
 
     repo = Path(__file__).resolve().parent.parent
     ks = [int(v) for v in args.k.split(",")]
-    nss = [int(v) for v in args.ns.split(",")]
+    nss = [int(v) for v in args.ns.split(",") if v]
     compacts = [True, False] if args.nocompact_too else [True]
 
     probes = []
@@ -154,6 +273,16 @@ def main() -> int:
             for compact in compacts:
                 result = probe_one(repo, k, ns, compact, args.timeout)
                 probes.append(result)
+                print(json.dumps(result), flush=True)
+
+    block_group_probes = []
+    for k in ks:
+        for m in [int(v) for v in args.block_groups.split(",") if v]:
+            for compact in compacts:
+                result = probe_one_block_group(
+                    repo, k, m, args.nsb, compact, args.timeout
+                )
+                block_group_probes.append(result)
                 print(json.dumps(result), flush=True)
 
     h2h_probes = []
@@ -169,6 +298,30 @@ def main() -> int:
     sys.path.insert(0, str(repo))
     from farkle_ii_tpu.utils.authenticated_contract import resolve_code_identity
 
+    out = Path(args.out)
+    if not args.no_merge and out.exists():
+        # merge: a new probe of the same shape replaces the old result, so
+        # separate sweep invocations accumulate into one artifact
+        try:
+            old = json.loads(out.read_text())
+        except (json.JSONDecodeError, OSError):
+            old = {}
+
+        def merged(old_list, new_list, key_fields):
+            new_keys = {tuple(p[f] for f in key_fields) for p in new_list}
+            kept = [
+                p for p in old_list
+                if tuple(p.get(f) for f in key_fields) not in new_keys
+            ]
+            return kept + new_list
+
+        probes = merged(old.get("probes", []), probes, ("k", "ns", "compact"))
+        block_group_probes = merged(
+            old.get("block_group_probes", []), block_group_probes,
+            ("k", "m", "nsb", "compact"),
+        )
+        h2h_probes = merged(old.get("h2h_probes", []), h2h_probes, ("h2h_batch",))
+
     payload = {
         "envelope_version": 1,
         "platform": jax.devices()[0].platform,
@@ -180,13 +333,15 @@ def main() -> int:
         "ok_shapes": sorted(
             [[p["k"], p["ns"], p["compact"]] for p in probes if p["ok"]]
         ),
+        "block_group_probes": block_group_probes,
         "h2h_probes": h2h_probes,
         "h2h_ok_batches": sorted(p["h2h_batch"] for p in h2h_probes if p["ok"]),
     }
-    out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(payload, indent=2))
-    print(f"envelope written to {out} ({sum(p['ok'] for p in probes)}/{len(probes)} ok)")
+    n_ok = sum(p["ok"] for p in probes) + sum(p["ok"] for p in block_group_probes)
+    n_all = len(probes) + len(block_group_probes)
+    print(f"envelope written to {out} ({n_ok}/{n_all} ok)")
     return 0
 
 

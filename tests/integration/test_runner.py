@@ -386,3 +386,36 @@ def test_simulation_golden_values(cfg, golden):
         "winning_score_sq_sum": m["winning_score_sq_sum"].astype(int).tolist(),
         "n_rounds_sum": m["n_rounds_sum"].astype(int).tolist(),
     })
+
+
+def test_block_group_dispatch_bit_identical(tmp_path):
+    """blocks_per_dispatch>1 groups whole blocks into one device batch; the
+    per-block artifacts and final summary must be bit-identical to the
+    per-block dispatch path (coordinate-addressed RNG + per-block exact
+    aggregation)."""
+    import pyarrow.parquet as pq
+
+    outs = {}
+    for m, sub in ((1, "single"), (2, "grouped")):
+        cfg = C.AppConfig()
+        cfg.data_dir = str(tmp_path / sub)
+        cfg.sim.seed = 23
+        cfg.sim.n_players_list = [2]
+        cfg.sim.score_thresholds = [300]
+        cfg.sim.dice_thresholds = [2]
+        cfg.sim.smart_one_opts = [False]
+        cfg.sim.run_up_score_opts = [False]
+        cfg.sim.shuffles_per_device_batch = 4
+        cfg.screening.resolution_delta = 0.9
+        cfg.batching.target_batches = 4
+        cfg.batching.min_shuffles_per_batch = 2
+        cfg.tpu.aot_cache = False
+        cfg.tpu.blocks_per_dispatch = m
+        cfg = C.assign_config_sha(cfg)
+        R.run_simulation(cfg, progress=lambda msg: None)
+        outs[m] = pq.read_table(cfg.checkpoint_path(2)).to_pandas()
+        # per-block artifacts exist for every batch in both modes
+        blocks = sorted((cfg.n_players_dir(2) / "blocks").glob("block_*.npz"))
+        assert len(blocks) == 4, blocks
+    lhs, rhs = outs[1], outs[2]
+    assert (lhs == rhs).all().all(), "grouped dispatch changed results"

@@ -61,3 +61,39 @@ def test_grid_size_mismatch_ignored(tmp_path):
     # artifacts probed before the grid-size field are still accepted
     legacy = _write(tmp_path, {"ok_shapes": [[2, 64, True]]})
     assert load_fault_envelope(legacy, n_strategies=120) is not None
+
+
+def test_best_ns_prefers_measured_fastest(tmp_path):
+    payload = _payload([[2, 16, True], [2, 64, True], [2, 96, True]])
+    payload["probes"] = [
+        {"k": 2, "ns": 16, "compact": True, "ok": True, "games_per_sec": 900_000},
+        {"k": 2, "ns": 64, "compact": True, "ok": True, "games_per_sec": 1_500_000},
+        {"k": 2, "ns": 96, "compact": True, "ok": True, "games_per_sec": 1_400_000},
+        # faulted probes never contribute speed entries
+        {"k": 2, "ns": 43, "compact": True, "ok": False, "games_per_sec": None},
+    ]
+    env = load_fault_envelope(_write(tmp_path, payload))
+    # fastest safe shape wins, not the largest
+    assert env.best_ns(2, compact=True, cap=128) == 64
+    # the cap still constrains the choice
+    assert env.best_ns(2, compact=True, cap=43) == 16
+    # without timings (legacy artifact) falls back to largest-safe
+    legacy = load_fault_envelope(_write(tmp_path, _payload([[2, 16, True], [2, 96, True]])))
+    assert legacy.best_ns(2, compact=True, cap=128) == 96
+
+
+def test_best_block_group_exact_nsb_only(tmp_path):
+    payload = _payload([])
+    payload["block_group_probes"] = [
+        {"k": 2, "m": 4, "nsb": 43, "compact": True, "ok": True, "games_per_sec": 2_000_000},
+        {"k": 2, "m": 8, "nsb": 43, "compact": True, "ok": True, "games_per_sec": 3_000_000},
+        {"k": 2, "m": 16, "nsb": 43, "compact": True, "ok": False, "games_per_sec": None},
+        {"k": 2, "m": 8, "nsb": 50, "compact": True, "ok": True, "games_per_sec": 9_000_000},
+    ]
+    env = load_fault_envelope(_write(tmp_path, payload))
+    # fastest safe m for the exact per-block shuffle count; other nsb values
+    # are a different program shape and must not transfer
+    assert env.best_block_group(2, nsb=43, compact=True, max_m=100) == 8
+    assert env.best_block_group(2, nsb=43, compact=True, max_m=6) == 4
+    assert env.best_block_group(2, nsb=41, compact=True, max_m=100) is None
+    assert env.best_block_group(3, nsb=43, compact=True, max_m=100) is None

@@ -182,3 +182,30 @@ def test_pack_unpack_aggregates_roundtrip():
     back = T.unpack_aggregates(packed, s)
     for a, b in zip(agg, back):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_block_group_bit_identical_to_per_block_dispatch(params):
+    # one big play batch spanning m blocks must reproduce each block's
+    # packed aggregate bit-for-bit (coordinate-addressed RNG => batch
+    # placement invariance; per-block slicing => identical reductions)
+    spec = T.TournamentSpec(root_seed=19, k=3, n_strategies=24)
+    m, nsb = 3, 4
+    sh = jnp.arange(m * nsb, dtype=jnp.uint32).reshape(m, nsb)
+    grouped = np.asarray(
+        jax.jit(lambda s: T.play_and_aggregate_blocks(spec, params, s))(sh)
+    )
+    assert grouped.shape == (m, T.packed_length(24))
+    for b in range(m):
+        single = np.asarray(
+            jax.jit(
+                lambda s: T.pack_aggregates(T.play_and_aggregate(spec, params, s))
+            )(sh[b])
+        )
+        np.testing.assert_array_equal(grouped[b], single)
+
+
+def test_block_group_rejects_oversized_blocks(params):
+    spec = T.TournamentSpec(root_seed=19, k=2, n_strategies=24)
+    sh = jnp.zeros((1, T.MAX_SHUFFLES_PER_BATCH + 1), dtype=jnp.uint32)
+    with pytest.raises(ValueError):
+        T.play_and_aggregate_blocks(spec, params, sh)
