@@ -29,9 +29,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from farkle_ii_tpu.simulation.tournament import (
     TournamentAggregates,
     TournamentSpec,
+    aggregate,
     pack_aggregates,
+    pack_result_rows,
     play_and_aggregate,
     play_and_aggregate_block,
+    play_shuffles,
 )
 
 SHUFFLE_AXIS = "shuffles"
@@ -165,6 +168,51 @@ def sharded_packed_step(
             pad_multiple=pad_multiple, game_kwargs=game_kwargs,
         )
         return jax.lax.psum(pack_aggregates(agg), SHUFFLE_AXIS)
+
+    def step(params, shuffle_indices):
+        st, dt, fl = params
+        n_dev = mesh.devices.size
+        if len(shuffle_indices) % n_dev != 0:
+            raise ValueError(
+                f"shuffle batch of {len(shuffle_indices)} not divisible by "
+                f"{n_dev} devices"
+            )
+        return run(st, dt, fl, shuffle_indices)
+
+    return jax.jit(step)
+
+
+def sharded_rows_step(
+    spec: TournamentSpec, mesh: Mesh, *, compact: bool = True,
+    pad_multiple: int | None = None,
+):
+    """Multi-chip row-export step: sharded play, gathered packed rows.
+
+    Each device plays ``NS / n_devices`` whole shuffles locally; packed
+    per-strategy aggregates ride ICI via ``psum`` (replicated), while the
+    packed per-game row buffer stays sharded over the shuffle axis — the
+    host fetch assembles it in global shuffle order (device d holds the
+    d-th contiguous shuffle slice). This removes the round-2 single-device
+    pin on row export (runner.py:377-381 then); the reference writes row
+    shards from every pool worker in parallel
+    (run_tournament.py:491-513).
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(SHUFFLE_AXIS)),
+        out_specs=(P(), P(SHUFFLE_AXIS)),
+        check_vma=False,  # see sharded_play_and_aggregate
+    )
+    def run(st, dt, fl, shuffles_local):
+        result, seat_ids = play_shuffles(
+            spec, (st, dt, fl), shuffles_local, compact=compact,
+            pad_multiple=pad_multiple,
+        )
+        agg = aggregate(result, seat_ids, spec.n_strategies)
+        packed = jax.lax.psum(pack_aggregates(agg), SHUFFLE_AXIS)
+        return packed, pack_result_rows(result, seat_ids)
 
     def step(params, shuffle_indices):
         st, dt, fl = params

@@ -374,13 +374,13 @@ def run_cell(
 
     # multi-chip: shard whole shuffles over the device mesh (the production
     # analogue of the reference's process-pool shuffle fan-out,
-    # run_tournament.py:1337). Row export needs unsharded per-game results,
-    # so it pins the single-device path.
+    # run_tournament.py:1337). Row export shards too: each device's packed
+    # row buffer stays sharded over the shuffle axis and the host assembles
+    # it in global shuffle order (parallel/mesh.sharded_rows_step) — the
+    # round-2 single-device pin is gone.
     avail = jax.devices()
-    n_mesh = 1
-    if not with_rows:
-        requested = cfg.tpu.mesh_devices or len(avail)
-        n_mesh = max(1, min(int(requested), len(avail)))
+    requested = cfg.tpu.mesh_devices or len(avail)
+    n_mesh = max(1, min(int(requested), len(avail)))
     mesh = None
     if n_mesh > 1:
         from farkle_ii_tpu.parallel.mesh import make_mesh
@@ -389,9 +389,8 @@ def run_cell(
         logger.info("k=%d: sharding shuffles over %d devices", n, n_mesh)
     elif cfg.tpu.mesh_devices and cfg.tpu.mesh_devices > 1:
         logger.info(
-            "k=%d: mesh of %s requested but only %d device(s)%s; running "
+            "k=%d: mesh of %s requested but only %d device(s); running "
             "single-device", n, cfg.tpu.mesh_devices, len(avail),
-            " (row export forces single-device)" if with_rows else "",
         )
 
     pad_multiple = int(cfg.tpu.compact_pad_multiple)
@@ -454,7 +453,13 @@ def run_cell(
     def step_for(size: int, compact_: bool, *, sharded: bool = False):
         key = ("chunk", size, compact_, sharded)
         if key not in step_cache:
-            if sharded:
+            if sharded and with_rows:
+                from farkle_ii_tpu.parallel.mesh import sharded_rows_step
+
+                step_cache[key] = sharded_rows_step(
+                    spec, mesh, compact=compact_, pad_multiple=pad_multiple,
+                )
+            elif sharded:
                 from farkle_ii_tpu.parallel.mesh import sharded_packed_step
 
                 step_cache[key] = sharded_packed_step(
@@ -509,7 +514,7 @@ def run_cell(
     # (T.play_and_aggregate_blocks) — per-block persistence/resume unchanged.
     group_m = 1
     nsb = plan.shuffles_per_batch
-    if not with_rows and n_mesh == 1 and nsb <= T.MAX_SHUFFLES_PER_BATCH:
+    if n_mesh == 1 and nsb <= T.MAX_SHUFFLES_PER_BATCH:
         cfg_m = cfg.tpu.blocks_per_dispatch
         if cfg_m is not None:
             group_m = max(1, int(cfg_m))
@@ -527,13 +532,22 @@ def run_cell(
                 )
 
     def group_step_for(m: int, compact_: bool):
-        key = ("group", m, compact_)
+        key = ("group", m, compact_, with_rows)
         if key not in step_cache:
-            def fn(p, sh):
-                return T.play_and_aggregate_blocks(
-                    spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
-                    game_kwargs=agg_kwargs,
-                )
+            if with_rows:
+
+                def fn(p, sh):
+                    return T.play_and_aggregate_blocks_with_rows(
+                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
+                    )
+
+            else:
+
+                def fn(p, sh):
+                    return T.play_and_aggregate_blocks(
+                        spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
+                        game_kwargs=agg_kwargs,
+                    )
 
             if cfg.tpu.aot_cache:
                 from farkle_ii_tpu.utils.aot_cache import cached_compile
@@ -542,7 +556,8 @@ def run_cell(
                     fn, params, jnp.zeros((m, nsb), dtype=jnp.uint32),
                     extra_key=f"blkgrp-k{spec.k}-s{spec.n_strategies}"
                     f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
-                    f"-p{pad_multiple}" + ("" if compact_ else "-nocompact"),
+                    f"-p{pad_multiple}-rows{int(with_rows)}"
+                    + ("" if compact_ else "-nocompact"),
                 )
             else:
                 step_cache[key] = jax.jit(fn)
@@ -560,7 +575,13 @@ def run_cell(
     def absorb_group(batch_ids: list[int], out: Any) -> None:
         nonlocal games_done
         try:
-            rows = np.asarray(out)
+            if with_rows:
+                packed_aggs, packed_rows = out
+                aggs = np.asarray(packed_aggs)
+                row_buf = np.asarray(packed_rows)
+            else:
+                aggs = np.asarray(out)
+                row_buf = None
         except (jax.errors.JaxRuntimeError, RuntimeError, ValueError):
             # device fault: replay each block serially without compaction
             logger.warning(
@@ -570,14 +591,24 @@ def run_cell(
             for b in batch_ids:
                 absorb_block(b, dispatch_block(b, compact_=False), retried=True)
             return
+        games_per_block = nsb * plan.games_per_shuffle
         for i, b in enumerate(batch_ids):
             acc = T.TournamentAccumulator(len(strategies))
-            acc.absorb(T.unpack_aggregates(rows[i], len(strategies)))
+            acc.absorb(T.unpack_aggregates(aggs[i], len(strategies)))
             acc.check_conservation()
+            if row_buf is not None:
+                result, seat_ids = T.unpack_result_rows(
+                    row_buf[i * games_per_block : (i + 1) * games_per_block],
+                    int(n),
+                )
+                _enqueue_row_shard(
+                    batch_id=b, shuffle_lo=b * nsb, shuffle_hi=(b + 1) * nsb,
+                    result=result, seat_ids=seat_ids,
+                )
             _enqueue_block_save(b, acc)
             total.merge(acc)
             completed.append(b)
-            games_done += nsb * plan.games_per_shuffle
+            games_done += games_per_block
         if progress:
             progress(
                 f"k={n} batches {batch_ids[0] + 1}..{batch_ids[-1] + 1}/"
@@ -634,10 +665,9 @@ def run_cell(
                 if with_rows:
                     packed, packed_rows = out
                     result, seat_ids = T.unpack_result_rows(packed_rows, int(n))
-                    _write_row_shard(
-                        cfg, n=n, spec=spec, batch_id=batch_id,
-                        shuffle_lo=chunk_lo, shuffle_hi=chunk_hi,
-                        result=result, seat_ids=seat_ids,
+                    _enqueue_row_shard(
+                        batch_id=batch_id, shuffle_lo=chunk_lo,
+                        shuffle_hi=chunk_hi, result=result, seat_ids=seat_ids,
                     )
                     agg = T.unpack_aggregates(packed, len(strategies))
                 elif isinstance(out, tuple):  # block-scan limb pair
@@ -685,12 +715,20 @@ def run_cell(
             item = save_queue.get()
             if item is None:
                 return
-            b_id, b_acc = item
             try:
-                save_block_aggregate(
-                    _block_path(cfg, n, b_id), b_acc, batch_id=b_id,
-                    coordinates=_expected_coords(b_id),
-                )
+                if item[0] == "rows":
+                    _, b_id, lo, hi, result, seat_ids = item
+                    _write_row_shard(
+                        cfg, n=n, spec=spec, batch_id=b_id,
+                        shuffle_lo=lo, shuffle_hi=hi,
+                        result=result, seat_ids=seat_ids,
+                    )
+                else:
+                    _, b_id, b_acc = item
+                    save_block_aggregate(
+                        _block_path(cfg, n, b_id), b_acc, batch_id=b_id,
+                        coordinates=_expected_coords(b_id),
+                    )
             except BaseException as exc:  # surfaced at join
                 save_errors.append(exc)
 
@@ -700,7 +738,17 @@ def run_cell(
     def _enqueue_block_save(b_id: int, b_acc) -> None:
         if save_errors:
             raise RuntimeError("block writer failed") from save_errors[0]
-        save_queue.put((b_id, b_acc))
+        save_queue.put(("block", b_id, b_acc))
+
+    def _enqueue_row_shard(
+        *, batch_id: int, shuffle_lo: int, shuffle_hi: int, result, seat_ids
+    ) -> None:
+        # FIFO with the block save: enqueued before its block's npz, so the
+        # single writer durably publishes the shard first and a resume never
+        # sees a completed block whose rows are missing
+        if save_errors:
+            raise RuntimeError("block writer failed") from save_errors[0]
+        save_queue.put(("rows", batch_id, shuffle_lo, shuffle_hi, result, seat_ids))
 
     def _join_writer() -> None:
         save_queue.put(None)

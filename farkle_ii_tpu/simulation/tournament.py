@@ -432,6 +432,54 @@ def play_and_aggregate_blocks(
     return jnp.stack(rows)
 
 
+def play_and_aggregate_blocks_with_rows(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices_2d: jax.Array,  # (m_blocks, nsb) uint32, nsb <= 128
+    *,
+    compact: bool = True,
+    pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-export twin of :func:`play_and_aggregate_blocks`.
+
+    One device batch plays ``m`` whole recovery blocks; returns per-block
+    packed aggregates ``(m, packed_length)`` plus the packed per-game row
+    buffer ``(m * nsb * games_per_shuffle, 6 + 12K)`` — two fetches per
+    dispatch total. Row order is (block, shuffle, game) coordinate order,
+    so host-side slicing by block is a view. Replaces the per-chunk
+    dispatch that ran row export at ~9.7k games/s (round-2 RESULTS.md);
+    the reference writes row shards from every worker in parallel
+    (run_tournament.py:491-513).
+    """
+    m, nsb = shuffle_indices_2d.shape
+    if nsb > MAX_SHUFFLES_PER_BATCH:
+        raise ValueError(
+            f"block size {nsb} exceeds exact-aggregation bound "
+            f"{MAX_SHUFFLES_PER_BATCH}"
+        )
+    flat = shuffle_indices_2d.reshape(-1)
+    result, seat_ids = play_shuffles(
+        spec, params, flat, compact=compact, pad_multiple=pad_multiple,
+        game_kwargs=game_kwargs,
+    )
+    g = spec.games_per_shuffle
+    per_block = nsb * g
+    rows = []
+    for b in range(m):
+        lo_i = b * per_block
+        sl_res = jax.tree.map(lambda a: a[lo_i : lo_i + per_block], result)
+        rows.append(
+            pack_aggregates(
+                aggregate_from_permutation(
+                    sl_res, seat_ids[lo_i : lo_i + per_block],
+                    spec.n_strategies, spec.k,
+                )
+            )
+        )
+    return jnp.stack(rows), pack_result_rows(result, seat_ids)
+
+
 def play_and_aggregate_block(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],

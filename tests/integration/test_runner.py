@@ -388,6 +388,76 @@ def test_simulation_golden_values(cfg, golden):
     })
 
 
+def _all_rows_frame(cfg, n):
+    """Concatenate every row shard of cell ``n`` in coordinate order."""
+    import pandas as pd
+
+    shards = sorted(cfg.rows_dir(n).glob("rows_*.parquet"))
+    assert shards, "no row shards written"
+    frame = pd.concat([pq.read_table(s).to_pandas() for s in shards])
+    return frame.sort_values(["shuffle_index", "game_index"]).reset_index(drop=True)
+
+
+@pytest.mark.slow
+def test_mesh_row_export_bit_identical(tmp_path):
+    """Row export over the 8-device mesh == single device, row for row.
+
+    Round 2 pinned row export to one device; the sharded rows step keeps the
+    packed row buffer sharded over the shuffle axis and the host assembles it
+    in global shuffle order (the mesh analogue of the reference's parallel
+    per-worker row shards, run_tournament.py:491-513). Shard boundaries
+    differ by design; the row *contents* must not.
+    """
+    import jax
+
+    assert len(jax.devices()) == 8
+    frames = {}
+    for sub, mesh_devices in (("one", 1), ("eight", 8)):
+        cfg = _mini_cfg(tmp_path, sub, mesh_devices)
+        cfg.sim.row_dir = "rows"
+        C.assign_config_sha(cfg)
+        R.run_simulation(cfg, progress=lambda m: None)
+        frames[mesh_devices] = _all_rows_frame(cfg, 3)
+        # aggregates stay bit-identical too
+        frames[f"ckpt{mesh_devices}"] = pq.read_table(cfg.checkpoint_path(3))
+    lhs, rhs = frames[1], frames[8]
+    assert len(lhs) == 18 * 8  # 2 batches x 9 shuffles x 8 games
+    # deterministic_batch_id reflects dispatch granularity, not game outcomes
+    cols = [c for c in lhs.columns if c != "deterministic_batch_id"]
+    assert lhs[cols].equals(rhs[cols]), "mesh row export changed row contents"
+    assert frames["ckpt1"].equals(frames["ckpt8"])
+
+
+def test_grouped_rows_dispatch_bit_identical(tmp_path):
+    """blocks_per_dispatch>1 with row export on: one device batch plays m
+    whole blocks and returns per-block aggregates plus the packed row buffer
+    in two fetches; rows and aggregates must match per-block dispatch."""
+    frames = {}
+    for m, sub in ((1, "single"), (2, "grouped")):
+        cfg = C.AppConfig()
+        cfg.data_dir = str(tmp_path / sub)
+        cfg.sim.seed = 29
+        cfg.sim.n_players_list = [2]
+        cfg.sim.score_thresholds = [300]
+        cfg.sim.dice_thresholds = [2]
+        cfg.sim.smart_one_opts = [False]
+        cfg.sim.run_up_score_opts = [False]
+        cfg.sim.shuffles_per_device_batch = 4
+        cfg.sim.row_dir = "rows"
+        cfg.screening.resolution_delta = 0.9
+        cfg.batching.target_batches = 4
+        cfg.batching.min_shuffles_per_batch = 2
+        cfg.tpu.aot_cache = False
+        cfg.tpu.blocks_per_dispatch = m
+        cfg = C.assign_config_sha(cfg)
+        R.run_simulation(cfg, progress=lambda msg: None)
+        frames[m] = _all_rows_frame(cfg, 2)
+        frames[f"ckpt{m}"] = pq.read_table(cfg.checkpoint_path(2))
+    assert len(frames[1]) == 8 * 12  # 4 batches x 2 shuffles x 12 games
+    assert frames[1].equals(frames[2]), "grouped rows dispatch changed rows"
+    assert frames["ckpt1"].equals(frames["ckpt2"])
+
+
 def test_block_group_dispatch_bit_identical(tmp_path):
     """blocks_per_dispatch>1 groups whole blocks into one device batch; the
     per-block artifacts and final summary must be bit-identical to the
