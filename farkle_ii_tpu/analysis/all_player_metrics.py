@@ -285,6 +285,75 @@ def finalize_batch_metrics(partials: list[pd.DataFrame]) -> pa.Table:
     return table
 
 
+def publish_device_batch_metrics(
+    cfg: AppConfig,
+    k: int,
+    partials: dict[int, pd.DataFrame],
+    *,
+    expected_games: int,
+) -> None:
+    """Publish the batch-metrics artifact straight from simulation.
+
+    ``partials`` maps a shard's ``shuffle_lo`` to the partial raw sums
+    computed from the in-memory device row buffer as it was exported —
+    no second pass over the rows on disk. Shards not covered in memory
+    (resumed blocks, peer hosts' blocks) are recovered from their published
+    parquet; the finished artifact carries the metrics stage's own stamp, so
+    ``run_for_k`` resolves COMPLETE_VALID and skips its streaming row scan
+    entirely (SURVEY §7 step 8's device-sufficient-statistics design point;
+    the reference always re-derives this frame from curated rows,
+    ``all_player_metrics.py:76``).
+
+    Exactness: the artifact's grouping key includes
+    ``deterministic_batch_id`` and integer-valued sums are exact in f64, so
+    the only path-dependence vs the streaming scan is float addition order
+    inside the six per-exposure ratio sums (last-ulp effects; see
+    ``test_device_batch_metrics_matches_row_scan``).
+    """
+    from farkle_ii_tpu.analysis.ingest import canonical_row_shards
+    from farkle_ii_tpu.utils.artifacts import read_parquet_artifact
+
+    covered = dict(partials)
+    for shard in canonical_row_shards(cfg, k):
+        shuffle_lo = int(shard.stem.rsplit("_", 1)[1])
+        if shuffle_lo in covered:
+            continue
+        table = read_parquet_artifact(shard, expected_producer="simulation")
+        covered[shuffle_lo] = partial_raw_sums(table.to_pandas(), k)
+        logger.info(
+            "device batch metrics k=%d: recovered shard %s from disk",
+            k, shard.name,
+        )
+    table = finalize_batch_metrics([covered[key] for key in sorted(covered)])
+    games = int(
+        pa.compute.sum(table["raw_player_game_exposures"]).as_py() or 0
+    ) // k
+    if games != expected_games:
+        raise ValueError(
+            f"device batch metrics k={k}: {games} games covered != "
+            f"{expected_games} planned"
+        )
+    stage_sha = compute_stage_config_sha(cfg, "metrics")
+    out = cfg.batch_metrics_path(k)
+    write_parquet_artifact_atomic(
+        table, out, producer="metrics", scope="by_k",
+        metadata={
+            "k": k, "conditioning": ATTEMPT_CONDITIONING,
+            "n_rows": table.num_rows, "produced_by": "simulation-device",
+        },
+    )
+    write_stage_done(
+        out.parent, f"batch_metrics_{k}p",
+        inputs=[cfg.rows_dir(k) / "rows_manifest.v3.ndjson"], outputs=[out],
+        config_sha=stage_sha, freshness_key=cfg.freshness_key(),
+        extra={"produced_by": "simulation-device"},
+    )
+    logger.info(
+        "device batch metrics k=%d: %d strategy-batch rows published from "
+        "simulation", k, table.num_rows,
+    )
+
+
 def run_for_k(cfg: AppConfig, k: int, *, force: bool = False) -> None:
     stage_sha = compute_stage_config_sha(cfg, "metrics")
     out = cfg.batch_metrics_path(k)

@@ -201,6 +201,9 @@ class SimConfig:
     progress_logging: dict[str, Any] = field(default_factory=dict)
     # TPU-native additions (ignored by nothing; defaults match device limits)
     shuffles_per_device_batch: int = 64
+    # publish per-batch unconditional sufficient statistics during row export
+    # (the metrics stage then resolves COMPLETE_VALID and skips its row scan)
+    emit_batch_metrics: bool = True
 
 
 @dataclass

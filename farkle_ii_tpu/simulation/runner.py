@@ -244,7 +244,7 @@ def _write_row_shard(
             "n_rows": table.num_rows,
         },
     )
-    return shard
+    return shard, table
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -709,6 +709,11 @@ def run_cell(
 
     save_queue: queue_mod.Queue = queue_mod.Queue(maxsize=16)
     save_errors: list[BaseException] = []
+    # per-shard unconditional sufficient-statistic partials, computed on the
+    # writer thread from the in-memory device row buffers (shuffle_lo -> df);
+    # read only after _join_writer
+    emit_metrics = with_rows and bool(cfg.sim.emit_batch_metrics)
+    metrics_partials: dict[int, Any] = {}
 
     def _writer() -> None:
         while True:
@@ -718,11 +723,19 @@ def run_cell(
             try:
                 if item[0] == "rows":
                     _, b_id, lo, hi, result, seat_ids = item
-                    _write_row_shard(
+                    _, rows_table = _write_row_shard(
                         cfg, n=n, spec=spec, batch_id=b_id,
                         shuffle_lo=lo, shuffle_hi=hi,
                         result=result, seat_ids=seat_ids,
                     )
+                    if emit_metrics:
+                        from farkle_ii_tpu.analysis.all_player_metrics import (
+                            partial_raw_sums,
+                        )
+
+                        metrics_partials[lo] = partial_raw_sums(
+                            rows_table.to_pandas(), int(n)
+                        )
                 else:
                     _, b_id, b_acc = item
                     save_block_aggregate(
@@ -854,6 +867,14 @@ def run_cell(
         )
     if with_rows:
         _publish_immutable_rows_manifest(cfg, n)
+        if emit_metrics:
+            from farkle_ii_tpu.analysis.all_player_metrics import (
+                publish_device_batch_metrics,
+            )
+
+            publish_device_batch_metrics(
+                cfg, int(n), metrics_partials, expected_games=expected_games,
+            )
     return CellRunResult(
         plan=plan,
         accumulator=total,

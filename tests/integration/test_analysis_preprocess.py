@@ -145,6 +145,38 @@ def test_idempotent_stamps(cfg):
     metrics_mod.run(cfg)
 
 
+def test_device_batch_metrics_matches_row_scan(cfg):
+    """The simulation-published batch-metrics artifact equals the streaming
+    row-scan rebuild: integer sufficient sums exactly, the six per-exposure
+    ratio sums to float-addition-order (last-ulp) tolerance."""
+    import json
+
+    from farkle_ii_tpu.utils.stage_completion import stamp_path
+
+    for k in (2, 3):
+        stamp = json.loads(
+            stamp_path(
+                cfg.batch_metrics_path(k).parent, f"batch_metrics_{k}p"
+            ).read_text()
+        )
+        assert stamp.get("produced_by") == "simulation-device"
+        dev = pq.read_table(cfg.batch_metrics_path(k)).to_pandas()
+        apm.run_for_k(cfg, k, force=True)  # rebuild via the curated-row scan
+        scan = pq.read_table(cfg.batch_metrics_path(k)).to_pandas()
+        assert list(dev.columns) == list(scan.columns)
+        assert len(dev) == len(scan)
+        for col in dev.columns:
+            if dev[col].dtype.kind in "iu":
+                np.testing.assert_array_equal(
+                    dev[col].to_numpy(), scan[col].to_numpy(), err_msg=col
+                )
+            else:
+                np.testing.assert_allclose(
+                    dev[col].to_numpy(), scan[col].to_numpy(),
+                    rtol=1e-12, atol=0, err_msg=col,
+                )
+
+
 def test_streamed_partials_equal_one_shot(cfg):
     """Chunked partial_raw_sums == one-shot build (streaming is exact)."""
     import pandas as pd

@@ -34,6 +34,119 @@ def _tiny_cfg(tmp_path, sub):
     return C.assign_config_sha(cfg)
 
 
+def test_initialize_from_env(monkeypatch):
+    """Coordinator env triggers exactly one jax.distributed.initialize call;
+    no env -> no-op (single-host runs never pay the import)."""
+    import jax
+
+    from farkle_ii_tpu.parallel import distributed as D
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(1))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "local_device_count", lambda: 8)
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert D.initialize_from_env() is False
+    assert calls == []
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:9999")
+    assert D.initialize_from_env() is True
+    assert calls == [1]
+
+    # the fallback env var spelling works too
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "127.0.0.1:9999")
+    assert D.initialize_from_env() is True
+    assert calls == [1, 1]
+
+
+def test_peer_block_timeout(tmp_path, monkeypatch):
+    """The finalizing host raises (not hangs) when a peer's blocks never
+    appear on the shared artifact plane (runner peer-wait path)."""
+    cfg = _tiny_cfg(tmp_path, "timeout")
+    monkeypatch.setenv("FARKLE_HOST_COUNT", "2")
+    monkeypatch.setenv("FARKLE_HOST_INDEX", "0")
+    monkeypatch.setattr(R, "_PEER_BLOCK_TIMEOUT_S", 3.0)
+    with pytest.raises(RuntimeError, match="timed out waiting for peer blocks"):
+        R.run_simulation(cfg, progress=lambda m: None)
+    # the failed finalize left no checkpoint and no done stamp: a rerun after
+    # the peer publishes must still be possible
+    assert not cfg.checkpoint_path(2).exists()
+
+
+@pytest.mark.slow
+def test_concurrent_hosts_race_artifact_plane(tmp_path):
+    """Two OS processes run host 0 and host 1 *simultaneously* against the
+    same data dir: host 1 publishes its blocks while host 0 plays its own and
+    then absorbs the peer's from disk. Exercises true concurrency on the
+    artifact plane (atomic publish + poll-absorb), unlike the sequential
+    env-override stand-in above."""
+    import subprocess
+    import sys
+    import textwrap
+
+    single = _tiny_cfg(tmp_path, "single")
+    R.run_simulation(single, progress=lambda m: None)
+    base = pq.read_table(single.checkpoint_path(2)).to_pandas()
+
+    multi = _tiny_cfg(tmp_path, "multi")
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from farkle_ii_tpu import config as C
+        from farkle_ii_tpu.simulation import runner as R
+        R._PEER_BLOCK_TIMEOUT_S = 420.0  # fail loudly, never hang the suite
+        cfg = C.AppConfig()
+        cfg.data_dir = {data_dir!r}
+        cfg.sim.seed = 21
+        cfg.sim.n_players_list = [2]
+        cfg.sim.expanded_metrics = True
+        cfg.sim.score_thresholds = [300]
+        cfg.sim.dice_thresholds = [2]
+        cfg.sim.smart_one_opts = [False]
+        cfg.sim.run_up_score_opts = [False]
+        cfg.sim.shuffles_per_device_batch = 4
+        cfg.screening.resolution_delta = 0.9
+        cfg.batching.target_batches = 4
+        cfg.batching.min_shuffles_per_batch = 2
+        cfg.tpu.aot_cache = False
+        C.assign_config_sha(cfg)
+        out = R.run_simulation(cfg, progress=lambda m: None)
+        print("finalized:", out.get("finalized", True))
+        """
+    ).format(repo=str(__import__("pathlib").Path(R.__file__).parents[2]),
+             data_dir=multi.data_dir)
+
+    import os
+
+    def launch(host_index):
+        env = dict(os.environ)
+        env["FARKLE_HOST_COUNT"] = "2"
+        env["FARKLE_HOST_INDEX"] = str(host_index)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)  # single virtual device is enough
+        return subprocess.Popen(
+            [sys.executable, "-c", script], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+
+    procs = [launch(0), launch(1)]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert "finalized: True" in outs[0]
+    assert "finalized: False" in outs[1]
+
+    merged = pq.read_table(multi.checkpoint_path(2)).to_pandas()
+    for col in ("wins", "attempted_exposures", "safety_limit_exposures",
+                "win_rate_per_attempt"):
+        np.testing.assert_array_equal(base[col].to_numpy(), merged[col].to_numpy())
+
+
 def test_host_partition_env_override(monkeypatch):
     monkeypatch.setenv("FARKLE_HOST_COUNT", "4")
     monkeypatch.setenv("FARKLE_HOST_INDEX", "3")
