@@ -135,7 +135,9 @@ def test_concurrent_hosts_race_artifact_plane(tmp_path):
         )
 
     procs = [launch(0), launch(1)]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    # generous: two fresh CPU processes each pay the full kernel compile, and
+    # the suite may share the machine with other compiles
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
     assert "finalized: True" in outs[0]
