@@ -52,9 +52,29 @@ from farkle_ii_tpu.utils.writer import write_json_atomic
 logger = logging.getLogger(__name__)
 
 # default games-per-dispatch cap; production value comes from
-# cfg.tpu.h2h_games_per_dispatch (probe the envelope with
-# scripts/probe_fault_envelope.py before raising it)
+# cfg.tpu.h2h_games_per_dispatch (0 = auto from the probed fault envelope,
+# scripts/probe_fault_envelope.py --h2h-batches)
 _H2H_GAMES_PER_DISPATCH = 16384
+
+
+def _resolve_h2h_dispatch_cap(cfg: AppConfig) -> int:
+    """Games per H2H device dispatch: explicit config, else the fastest
+    probed-fault-free batch from the envelope artifact, else the
+    conservative default."""
+    explicit = int(cfg.tpu.h2h_games_per_dispatch)
+    if explicit > 0:
+        return explicit
+    from farkle_ii_tpu.utils.fault_envelope import load_fault_envelope
+
+    envelope = load_fault_envelope(cfg.tpu.fault_envelope_path)
+    if envelope is not None:
+        probed = envelope.best_h2h_batch()
+        if probed:
+            logger.info(
+                "h2h dispatch cap %d games from probed envelope", probed
+            )
+            return probed
+    return _H2H_GAMES_PER_DISPATCH
 
 H2H_METHOD_VERSION = 2
 SCORE_TEST_ID = "two_proportion_score_constrained_null"
@@ -515,7 +535,7 @@ def _play_block_window(
     # cap each device dispatch: (blocks x window) games per batch, probed via
     # scripts/probe_fault_envelope.py --h2h-batches; a fixed power-of-two
     # block-group size keeps one compiled shape across shrinking pending sets
-    group = max(1, int(cfg.tpu.h2h_games_per_dispatch) // window)
+    group = max(1, _resolve_h2h_dispatch_cap(cfg) // window)
     group = 1 << (group.bit_length() - 1)  # round down to a power of two
     use_aot = bool(getattr(cfg.tpu, "aot_cache", False))
     for root in sorted(set(root_seeds.tolist())):

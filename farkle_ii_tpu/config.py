@@ -293,8 +293,9 @@ class TPUConfig:
     # probe with scripts/probe_fault_envelope.py before changing
     compact_pad_multiple: int = 4096
     # cap on games per H2H execution dispatch (fault envelope + XLA
-    # constant-folding guard); probed, not folklore — see fault_envelope_path
-    h2h_games_per_dispatch: int = 16384
+    # constant-folding guard); 0 = auto: the fastest probed-fault-free batch
+    # from fault_envelope_path (conservative 16384 when never probed)
+    h2h_games_per_dispatch: int = 0
     # optional probed-envelope artifact (scripts/probe_fault_envelope.py
     # output) recording which (k, chunk, compaction) shapes are fault-free
     fault_envelope_path: str | None = None

@@ -520,7 +520,10 @@ def run_cell(
             group_m = max(1, int(cfg_m))
         elif envelope is not None:
             probed_m = envelope.best_block_group(
-                int(n), nsb=nsb, compact=compact, max_m=plan.batch_count
+                int(n), nsb=nsb, compact=compact, max_m=plan.batch_count,
+                floor_speed=envelope.chunk_speed(
+                    int(n), ns=ns_device, compact=compact
+                ),
             )
             if probed_m:
                 group_m = probed_m

@@ -37,6 +37,10 @@ class FaultEnvelope:
     # (k, m_blocks, nsb, compact) -> games/s for the block-group program
     # (one dispatch plays m whole recovery blocks; distinct program family)
     block_groups: dict[tuple[int, int, int, bool], float] = None  # type: ignore[assignment]
+    # probed 2-seat H2H dispatch batches: batch -> games/s (None speed when
+    # the probe predates speed recording), plus the fault-free set
+    h2h_speeds: dict[int, float] = None  # type: ignore[assignment]
+    h2h_ok: frozenset[int] = frozenset()
 
     def is_probed_ok(self, k: int, ns: int, compact: bool) -> bool:
         return (int(k), int(ns), bool(compact)) in self.ok_shapes
@@ -71,14 +75,28 @@ class FaultEnvelope:
             return max(timed)[1]
         return self.max_safe_ns(k, compact=compact, cap=cap)
 
+    def chunk_speed(self, k: int, *, ns: int, compact: bool) -> float | None:
+        """Measured steady-state games/s of one probed chunk shape."""
+        return (self.shape_speed or {}).get((int(k), int(ns), bool(compact)))
+
     def best_block_group(
-        self, k: int, *, nsb: int, compact: bool, max_m: int
+        self,
+        k: int,
+        *,
+        nsb: int,
+        compact: bool,
+        max_m: int,
+        floor_speed: float | None = None,
     ) -> int | None:
         """Fastest probed-safe block-group size m for ``(k, nsb)``.
 
         Only probes with the exact per-block shuffle count transfer (the
         program batch shape is m*nsb shuffles). Returns None when nothing
-        matches — the runner then dispatches per block as before.
+        matches — or when the best group probe is no faster than
+        ``floor_speed`` (the per-block chunk-scan alternative the runner
+        would otherwise use; measured on v5e the flat m-block program can be
+        slower than the pipelined chunk scan at large batches,
+        ``results/scan_shape_sweep_k5.json``).
         """
         timed = [
             (speed, m)
@@ -86,7 +104,31 @@ class FaultEnvelope:
             if kk == int(k) and bb == int(nsb) and cc == bool(compact)
             and m <= int(max_m)
         ]
-        return max(timed)[1] if timed else None
+        if not timed:
+            return None
+        speed, m = max(timed)
+        if floor_speed is not None and speed <= floor_speed:
+            return None
+        return m
+
+    def best_h2h_batch(self, *, cap: int | None = None) -> int | None:
+        """Fastest probed-fault-free 2-seat H2H dispatch batch.
+
+        Falls back to the largest fault-free batch when no probe recorded a
+        steady-state speed; None when H2H shapes were never probed (the
+        caller keeps its configured/default dispatch cap).
+        """
+        ok = [b for b in self.h2h_ok if cap is None or b <= int(cap)]
+        if not ok:
+            return None
+        timed = [
+            (speed, b)
+            for b, speed in (self.h2h_speeds or {}).items()
+            if b in ok and speed is not None
+        ]
+        if timed:
+            return max(timed)[1]
+        return max(ok)
 
 
 def load_fault_envelope(
@@ -124,6 +166,16 @@ def load_fault_envelope(
             for pr in data.get("block_group_probes", [])
             if pr.get("ok") and pr.get("games_per_sec")
         }
+        h2h_ok = frozenset(
+            int(pr["h2h_batch"])
+            for pr in data.get("h2h_probes", [])
+            if pr.get("ok")
+        )
+        h2h_speeds = {
+            int(pr["h2h_batch"]): float(pr["games_per_sec"])
+            for pr in data.get("h2h_probes", [])
+            if pr.get("ok") and pr.get("games_per_sec")
+        }
     except (json.JSONDecodeError, KeyError, TypeError, ValueError) as exc:
         logger.warning("fault envelope %s unusable (%s); ignoring", p, exc)
         return None
@@ -145,4 +197,6 @@ def load_fault_envelope(
         device_kind=data.get("device_kind"),
         shape_speed=shape_speed,
         block_groups=block_groups,
+        h2h_speeds=h2h_speeds,
+        h2h_ok=h2h_ok,
     )

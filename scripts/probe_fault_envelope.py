@@ -135,11 +135,28 @@ dt = jnp.asarray(p.dice_threshold).reshape(batch, 2)
 fl = jnp.asarray(p.flags).reshape(batch, 2)
 base = rng.purpose_base_key(rng.RandomPurpose.H2H_PLAYER, root_seed=9, k=2)
 kd = gk.game_key_data_for_games(base, jnp.arange(batch))
-out = jax.jit(gk.play_games)(kd, st, dt, fl)
+step = jax.jit(gk.play_games)
+out = step(kd, st, dt, fl)
 comp = int(np.asarray(out.completed).sum())
 safety = int(np.asarray(~out.completed).sum())
 assert comp + safety == batch
-print(json.dumps({{"ok": True, "games": batch}}))
+# steady-state timing (same warm-then-median discipline as the chunk probe)
+import time
+g0 = batch
+for _ in range(2):
+    kd = gk.game_key_data_for_games(base, jnp.arange(g0, g0 + batch))
+    np.asarray(step(kd, st, dt, fl).completed)
+    g0 += batch
+timings = []
+for _ in range(5):
+    kd = gk.game_key_data_for_games(base, jnp.arange(g0, g0 + batch))
+    t0 = time.perf_counter()
+    np.asarray(step(kd, st, dt, fl).completed)
+    timings.append(time.perf_counter() - t0)
+    g0 += batch
+med = sorted(timings)[2]
+print(json.dumps({{"ok": True, "games": batch, "steady_s": round(med, 4),
+                   "games_per_sec": round(batch / med)}}))
 """
 
 
@@ -149,6 +166,7 @@ def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
     transfer; grounds ``tpu.h2h_games_per_dispatch``)."""
     code = _H2H_PROBE_SNIPPET.format(repo=str(repo), batch=batch)
     start = time.perf_counter()
+    extra: dict = {}
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
@@ -157,6 +175,11 @@ def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
         rc = proc.returncode
         tail = (proc.stdout + proc.stderr)[-2000:]
         ok = rc == 0 and '"ok": true' in proc.stdout.lower()
+        if ok:
+            try:
+                extra = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                pass
     except subprocess.TimeoutExpired as exc:
         rc, ok = -9, False
         tail = f"timeout after {timeout}s: " + str(exc)[-500:]
@@ -165,6 +188,8 @@ def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
         "ok": ok,
         "rc": rc,
         "seconds": round(time.perf_counter() - start, 1),
+        "steady_s": extra.get("steady_s"),
+        "games_per_sec": extra.get("games_per_sec"),
         "tail": None if ok else tail,
     }
 
@@ -267,15 +292,26 @@ def main() -> int:
     nss = [int(v) for v in args.ns.split(",") if v]
     compacts = [True, False] if args.nocompact_too else [True]
 
-    probes = []
+    probes: list = []
+    block_group_probes: list = []
+    h2h_probes: list = []
+
+    # flush (merge + write) after EVERY probe: sweeps are long and may be
+    # killed between probes — completed probes must never be lost
+    def flush() -> None:
+        _write_envelope(
+            repo, Path(args.out), probes, block_group_probes, h2h_probes,
+            merge=not args.no_merge,
+        )
+
     for k in ks:
         for ns in nss:
             for compact in compacts:
                 result = probe_one(repo, k, ns, compact, args.timeout)
                 probes.append(result)
                 print(json.dumps(result), flush=True)
+                flush()
 
-    block_group_probes = []
     for k in ks:
         for m in [int(v) for v in args.block_groups.split(",") if v]:
             for compact in compacts:
@@ -284,13 +320,28 @@ def main() -> int:
                 )
                 block_group_probes.append(result)
                 print(json.dumps(result), flush=True)
+                flush()
 
-    h2h_probes = []
     for batch in [int(v) for v in args.h2h_batches.split(",") if v]:
         result = probe_one_h2h(repo, batch, args.timeout)
         h2h_probes.append(result)
         print(json.dumps(result), flush=True)
+        flush()
 
+    flush()
+    print("sweep complete")
+    return 0
+
+
+def _write_envelope(
+    repo: Path,
+    out: Path,
+    probes: list,
+    block_group_probes: list,
+    h2h_probes: list,
+    *,
+    merge: bool,
+) -> None:
     import jax
 
     # the envelope is specific to (device, jax build, kernel code): record
@@ -298,8 +349,7 @@ def main() -> int:
     sys.path.insert(0, str(repo))
     from farkle_ii_tpu.utils.authenticated_contract import resolve_code_identity
 
-    out = Path(args.out)
-    if not args.no_merge and out.exists():
+    if merge and out.exists():
         # merge: a new probe of the same shape replaces the old result, so
         # separate sweep invocations accumulate into one artifact
         try:
@@ -338,11 +388,12 @@ def main() -> int:
         "h2h_ok_batches": sorted(p["h2h_batch"] for p in h2h_probes if p["ok"]),
     }
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(payload, indent=2))
+    tmp = out.with_suffix(".tmp")
+    tmp.write_text(json.dumps(payload, indent=2))
+    tmp.replace(out)
     n_ok = sum(p["ok"] for p in probes) + sum(p["ok"] for p in block_group_probes)
     n_all = len(probes) + len(block_group_probes)
-    print(f"envelope written to {out} ({n_ok}/{n_all} ok)")
-    return 0
+    print(f"envelope written to {out} ({n_ok}/{n_all} ok)", flush=True)
 
 
 if __name__ == "__main__":

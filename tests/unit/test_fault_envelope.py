@@ -97,3 +97,75 @@ def test_best_block_group_exact_nsb_only(tmp_path):
     assert env.best_block_group(2, nsb=43, compact=True, max_m=6) == 4
     assert env.best_block_group(2, nsb=41, compact=True, max_m=100) is None
     assert env.best_block_group(3, nsb=43, compact=True, max_m=100) is None
+
+
+def test_block_group_floor_speed(tmp_path):
+    payload = _payload([[5, 43, True]])
+    payload["probes"] = [
+        {"k": 5, "ns": 43, "compact": True, "ok": True, "games_per_sec": 1_300_000},
+    ]
+    payload["block_group_probes"] = [
+        {"k": 5, "m": 8, "nsb": 43, "compact": True, "ok": True, "games_per_sec": 1_100_000},
+    ]
+    env = load_fault_envelope(_write(tmp_path, payload))
+    assert env.chunk_speed(5, ns=43, compact=True) == 1_300_000
+    assert env.chunk_speed(5, ns=17, compact=True) is None
+    # a grouped program slower than the per-block chunk scan is rejected
+    floor = env.chunk_speed(5, ns=43, compact=True)
+    assert env.best_block_group(5, nsb=43, compact=True, max_m=100, floor_speed=floor) is None
+    # and accepted when it actually beats the chunk path
+    assert (
+        env.best_block_group(5, nsb=43, compact=True, max_m=100, floor_speed=900_000.0)
+        == 8
+    )
+    # no floor (no timed chunk probe) keeps the old behavior
+    assert env.best_block_group(5, nsb=43, compact=True, max_m=100, floor_speed=None) == 8
+
+
+def test_best_h2h_batch(tmp_path):
+    payload = _payload([])
+    payload["h2h_probes"] = [
+        {"h2h_batch": 16384, "ok": True, "games_per_sec": 250_000},
+        {"h2h_batch": 65536, "ok": True, "games_per_sec": 600_000},
+        {"h2h_batch": 131072, "ok": True, "games_per_sec": 550_000},
+        {"h2h_batch": 262144, "ok": False, "games_per_sec": None},
+    ]
+    env = load_fault_envelope(_write(tmp_path, payload))
+    # fastest probed-fault-free batch, not the largest
+    assert env.best_h2h_batch() == 65536
+    assert env.best_h2h_batch(cap=32768) == 16384
+    assert env.best_h2h_batch(cap=1000) is None
+    # legacy artifact: fault-free batches recorded without speeds -> largest
+    legacy_payload = _payload([])
+    legacy_payload["h2h_probes"] = [
+        {"h2h_batch": 16384, "ok": True},
+        {"h2h_batch": 65536, "ok": True},
+    ]
+    legacy = load_fault_envelope(_write(tmp_path, legacy_payload))
+    assert legacy.best_h2h_batch() == 65536
+    # never probed -> None (caller keeps its configured default)
+    assert load_fault_envelope(_write(tmp_path, _payload([]))).best_h2h_batch() is None
+
+
+def test_resolve_h2h_dispatch_cap(tmp_path):
+    from farkle_ii_tpu.analysis.h2h_schedule import _resolve_h2h_dispatch_cap
+    from farkle_ii_tpu.config import AppConfig
+
+    payload = _payload([])
+    payload["h2h_probes"] = [
+        {"h2h_batch": 16384, "ok": True, "games_per_sec": 250_000},
+        {"h2h_batch": 65536, "ok": True, "games_per_sec": 600_000},
+    ]
+    env_path = _write(tmp_path, payload)
+
+    cfg = AppConfig()
+    cfg.tpu.h2h_games_per_dispatch = 0
+    cfg.tpu.fault_envelope_path = str(env_path)
+    assert _resolve_h2h_dispatch_cap(cfg) == 65536
+    # an explicit config value always wins over the envelope
+    cfg.tpu.h2h_games_per_dispatch = 4096
+    assert _resolve_h2h_dispatch_cap(cfg) == 4096
+    # auto without an envelope keeps the conservative default
+    cfg.tpu.h2h_games_per_dispatch = 0
+    cfg.tpu.fault_envelope_path = None
+    assert _resolve_h2h_dispatch_cap(cfg) == 16384
