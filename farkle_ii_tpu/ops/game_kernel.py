@@ -60,6 +60,12 @@ from farkle_ii_tpu.ops.threefry import roll_dice_words, roll_faces_1h
 
 ROLL_LIMIT = 1000
 DEFAULT_TARGET_SCORE = 10_000
+
+# version of the production dice-stream definition (``dice_scheme`` default:
+# "1h" mixed-radix = 2; the round-1/2 "2h" stream = 1). Changing the stream
+# changes outcomes, so persisted per-block aggregates record this and a
+# resume never merges blocks played under a different stream.
+DICE_STREAM_VERSION = 2
 DEFAULT_MAX_ROUNDS = 200
 
 # Strategy flag bits — must match farkle_ii_tpu.simulation.strategies.

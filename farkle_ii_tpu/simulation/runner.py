@@ -36,6 +36,7 @@ import numpy as np
 import pyarrow as pa
 
 from farkle_ii_tpu.config import AppConfig, compute_stage_config_sha
+from farkle_ii_tpu.ops import game_kernel as gk
 from farkle_ii_tpu.simulation import strategies as S
 from farkle_ii_tpu.simulation import tournament as T
 from farkle_ii_tpu.simulation.workload import (
@@ -424,6 +425,10 @@ def run_cell(
             "shuffle_lo": lo,
             "shuffle_hi": lo + plan.shuffles_per_batch,
             "games_per_shuffle": plan.games_per_shuffle,
+            # dice-stream definition version: a stream change (round 3's
+            # one-hash mixed-radix draw) changes outcomes, so blocks played
+            # under an older stream must be replayed, never merged
+            "dice_stream": gk.DICE_STREAM_VERSION,
         }
 
     for batch_id in range(plan.batch_count):

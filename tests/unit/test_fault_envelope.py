@@ -169,3 +169,41 @@ def test_resolve_h2h_dispatch_cap(tmp_path):
     cfg.tpu.h2h_games_per_dispatch = 0
     cfg.tpu.fault_envelope_path = None
     assert _resolve_h2h_dispatch_cap(cfg) == 16384
+
+
+def test_block_resume_rejects_old_dice_stream(tmp_path):
+    """Blocks persisted under an older dice-stream definition fail coordinate
+    validation on resume (outcomes differ across stream versions)."""
+    import pytest
+
+    from farkle_ii_tpu.ops import game_kernel as gk
+    from farkle_ii_tpu.simulation import tournament as T
+    from farkle_ii_tpu.simulation.runner import (
+        load_block_aggregate,
+        save_block_aggregate,
+    )
+
+    acc = T.TournamentAccumulator(4)
+    path = tmp_path / "blocks" / "block_000000.npz"
+    coords = {
+        "batch_id": 0,
+        "root_seed": 7,
+        "k": 2,
+        "shuffle_lo": 0,
+        "shuffle_hi": 0,
+        "games_per_shuffle": 2,
+        "dice_stream": gk.DICE_STREAM_VERSION,
+    }
+    save_block_aggregate(path, acc, batch_id=0, coordinates=coords)
+    assert load_block_aggregate(path, expected_coordinates=coords) is not None
+
+    # a block written before stream versioning (no dice_stream key) or under
+    # the old stream must be replayed, never merged
+    stale = dict(coords, dice_stream=1)
+    save_block_aggregate(path, acc, batch_id=0, coordinates=stale)
+    with pytest.raises(ValueError, match="dice_stream"):
+        load_block_aggregate(path, expected_coordinates=coords)
+    legacy = {k: v for k, v in coords.items() if k != "dice_stream"}
+    save_block_aggregate(path, acc, batch_id=0, coordinates=legacy)
+    with pytest.raises(ValueError, match="dice_stream"):
+        load_block_aggregate(path, expected_coordinates=coords)
