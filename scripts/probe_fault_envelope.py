@@ -34,11 +34,12 @@ from farkle_ii_tpu.simulation import tournament as T
 from farkle_ii_tpu.simulation import runner as R
 
 k, ns, compact = {k}, {ns}, {compact}
+root_seed = {root_seed}
 grid = S.build_strategy_grid()
 p = S.pack_strategy_params(grid)
 params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
           jnp.asarray(p.flags))
-spec = T.TournamentSpec(root_seed=1234, k=k, n_strategies=len(grid))
+spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
 # the production chunk compile (same AOT cache key the runner uses, so a
 # probe sweep also pre-warms the production executable cache); faults happen
 # at execution, never at compile, so the cache does not mask them
@@ -80,16 +81,20 @@ from farkle_ii_tpu.simulation import tournament as T
 from farkle_ii_tpu.utils.aot_cache import cached_compile
 
 k, m, nsb, compact = {k}, {m}, {nsb}, {compact}
+root_seed = {root_seed}
 grid = S.build_strategy_grid()
 p = S.pack_strategy_params(grid)
 params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
           jnp.asarray(p.flags))
-spec = T.TournamentSpec(root_seed=1234, k=k, n_strategies=len(grid))
+spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
 fn = cached_compile(
     lambda prm, sh: T.play_and_aggregate_blocks(
         spec, prm, sh, compact=compact, pad_multiple=4096),
     params, jnp.zeros((m, nsb), dtype=jnp.uint32),
-    extra_key=f"blkgrp-k{{k}}-s{{len(grid)}}-m{{m}}x{{nsb}}"
+    # exact production cache key (runner.group_step_for): the probe sweep
+    # then pre-warms the executables the mega run will load
+    extra_key=f"blkgrp-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
+    f"-t{{spec.target_score}}-r{{spec.max_rounds}}-p4096-rows0"
     + ("" if compact else "-nocompact"),
 )
 sh0 = 0
@@ -195,11 +200,13 @@ def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
 
 
 def probe_one_block_group(
-    repo: Path, k: int, m: int, nsb: int, compact: bool, timeout: float
+    repo: Path, k: int, m: int, nsb: int, compact: bool, timeout: float,
+    root_seed: int = 1234,
 ) -> dict:
     """Probe one block-group shape (one dispatch = m whole recovery blocks)."""
     code = _BLOCK_GROUP_SNIPPET.format(
-        repo=str(repo), k=k, m=m, nsb=nsb, compact=compact
+        repo=str(repo), k=k, m=m, nsb=nsb, compact=compact,
+        root_seed=root_seed,
     )
     start = time.perf_counter()
     extra: dict = {}
@@ -229,8 +236,13 @@ def probe_one_block_group(
     }
 
 
-def probe_one(repo: Path, k: int, ns: int, compact: bool, timeout: float) -> dict:
-    code = _PROBE_SNIPPET.format(repo=str(repo), k=k, ns=ns, compact=compact)
+def probe_one(
+    repo: Path, k: int, ns: int, compact: bool, timeout: float,
+    root_seed: int = 1234,
+) -> dict:
+    code = _PROBE_SNIPPET.format(
+        repo=str(repo), k=k, ns=ns, compact=compact, root_seed=root_seed
+    )
     start = time.perf_counter()
     extra: dict = {}
     try:
@@ -279,6 +291,11 @@ def main() -> int:
     )
     ap.add_argument("--nsb", type=int, default=43,
                     help="shuffles per recovery block for --block-groups")
+    ap.add_argument(
+        "--root-seed", type=int, default=1234,
+        help="tournament root seed for chunk/block-group probes; pass the "
+        "production seed so probe compiles pre-warm its AOT cache entries",
+    )
     ap.add_argument("--timeout", type=float, default=1200.0)
     ap.add_argument("--out", default="results/fault_envelope.json")
     ap.add_argument(
@@ -307,7 +324,10 @@ def main() -> int:
     for k in ks:
         for ns in nss:
             for compact in compacts:
-                result = probe_one(repo, k, ns, compact, args.timeout)
+                result = probe_one(
+                    repo, k, ns, compact, args.timeout,
+                    root_seed=args.root_seed,
+                )
                 probes.append(result)
                 print(json.dumps(result), flush=True)
                 flush()
@@ -316,7 +336,8 @@ def main() -> int:
         for m in [int(v) for v in args.block_groups.split(",") if v]:
             for compact in compacts:
                 result = probe_one_block_group(
-                    repo, k, m, args.nsb, compact, args.timeout
+                    repo, k, m, args.nsb, compact, args.timeout,
+                    root_seed=args.root_seed,
                 )
                 block_group_probes.append(result)
                 print(json.dumps(result), flush=True)
