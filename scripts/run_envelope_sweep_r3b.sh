@@ -13,5 +13,4 @@ exec >> "$LOG" 2>&1
 echo "=== phase 2 (block groups) start $(date) ==="
 python scripts/probe_fault_envelope.py --root-seed 102 --k 2 --ns "" --block-groups 2,3,4,6 --nsb 43 --timeout 900
 python scripts/probe_fault_envelope.py --root-seed 102 --k 12,10,8 --ns "" --block-groups 2,3,4 --nsb 43 --timeout 900
-python scripts/probe_fault_envelope.py --root-seed 102 --k 3,4,5,6 --ns "" --block-groups 2,3 --nsb 43 --timeout 900
 echo "=== phase 2 done $(date) ==="

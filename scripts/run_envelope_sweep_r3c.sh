@@ -10,5 +10,4 @@ exec >> "$LOG" 2>&1
 echo "=== phase 3 (large mid-k shapes) start $(date) ==="
 python scripts/probe_fault_envelope.py --root-seed 102 --k 5 --ns 96,128 --timeout 900
 python scripts/probe_fault_envelope.py --root-seed 102 --k 4,6 --ns 96 --timeout 900
-python scripts/probe_fault_envelope.py --root-seed 102 --k 10,12 --ns 96 --timeout 900
 echo "=== phase 3 done $(date) ==="

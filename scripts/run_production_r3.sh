@@ -13,9 +13,14 @@ exec >> "$LOG" 2>&1
 
 echo "=== bench start $(date +%s) $(date) ==="
 timeout 900 python bench.py
-echo "=== mega run start $(date +%s) $(date) ==="
+echo "=== mega run (cold, populates AOT cache) start $(date +%s) $(date) ==="
 timeout 3600 python -m farkle_ii_tpu --config configs/mega_config.yaml \
   --set io.results_dir_prefix=data_mega_r3/results \
+  --set sim.seed_list=[102] run
+echo "=== mega run (warm, timed) start $(date +%s) $(date) ==="
+rm -rf data_mega_r3_warm
+timeout 3600 python -m farkle_ii_tpu --config configs/mega_config.yaml \
+  --set io.results_dir_prefix=data_mega_r3_warm/results \
   --set sim.seed_list=[102] run
 echo "=== default sim start $(date +%s) $(date) ==="
 timeout 3600 python -m farkle_ii_tpu --config configs/default_config.yaml \
