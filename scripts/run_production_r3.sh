@@ -1,19 +1,25 @@
 #!/bin/bash
-# Round-3 production measurement pass. Runs after the envelope sweeps
-# (phase 3 pid) release the chip:
+# Round-3 production measurement pass (v2 — reruns after an early-fire race
+# contaminated the first bench/mega timings with concurrent probe load).
+# Waits for the phase-2 block-group sweep, redoes the phase-3 large-shape
+# probes that ran contended, then measures production clean:
 #   1. bench.py                      — headline kernel number
-#   2. mega sim (seed 102)           — end-to-end games/s across all 8 cells
-#   3. default workflow (seed 0)     — sim with row export + full analyze
-#      pipeline, wall-clocked per phase
+#   2. mega sim cold resume + warm   — end-to-end games/s across all 8 cells
+#   3. default workflow              — sim with row export + full analyze
 set -u
 cd /root/repo
 LOG=/tmp/prod_r3.log
-while kill -0 "$(cat /tmp/envprobe_r3c.pid 2>/dev/null)" 2>/dev/null; do sleep 20; done
+WAIT_PID="${1:?usage: run_production_r3.sh <pid-to-wait-for>}"
+while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
 exec >> "$LOG" 2>&1
+
+echo "=== phase 3 redo start $(date +%s) $(date) ==="
+timeout 2000 python scripts/probe_fault_envelope.py --root-seed 102 --k 5 --ns 96,128 --timeout 900
+timeout 2000 python scripts/probe_fault_envelope.py --root-seed 102 --k 4,6 --ns 96 --timeout 900
 
 echo "=== bench start $(date +%s) $(date) ==="
 timeout 900 python bench.py
-echo "=== mega run (cold, populates AOT cache) start $(date +%s) $(date) ==="
+echo "=== mega run (cold resume, populates AOT cache) start $(date +%s) $(date) ==="
 timeout 3600 python -m farkle_ii_tpu --config configs/mega_config.yaml \
   --set io.results_dir_prefix=data_mega_r3/results \
   --set sim.seed_list=[102] run
