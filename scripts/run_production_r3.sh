@@ -16,6 +16,9 @@ exec >> "$LOG" 2>&1
 echo "=== phase 3 redo start $(date +%s) $(date) ==="
 timeout 2000 python scripts/probe_fault_envelope.py --root-seed 102 --k 5 --ns 96,128 --timeout 900
 timeout 2000 python scripts/probe_fault_envelope.py --root-seed 102 --k 4,6 --ns 96 --timeout 900
+# H2H dispatch speed rises monotonically through 262k games (2.57M games/s);
+# probe the next octave before production picks the fastest
+timeout 2000 python scripts/probe_fault_envelope.py --k 2 --ns "" --h2h-batches 524288,1048576 --timeout 900
 
 echo "=== bench start $(date +%s) $(date) ==="
 timeout 900 python bench.py

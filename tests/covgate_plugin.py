@@ -119,7 +119,10 @@ def pytest_sessionfinish(session, exitstatus):
     if gate is None:
         return
     report = gate.stop_and_report()
-    out = Path(__file__).resolve().parent.parent / "results" / "coverage.json"
+    out = Path(
+        os.environ.get("FARKLE_COV_OUT")
+        or Path(__file__).resolve().parent.parent / "results" / "coverage.json"
+    )
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(report, indent=2) + "\n")
     pct = report["total_pct"]
