@@ -9,11 +9,17 @@
 #   make ci-full  — contracts + full suite under the line-coverage gate
 #                   (sys.monitoring covgate, threshold below)
 
+# full-suite gate (measured 88.1% on the round-3 tree); the default suite
+# gates lower because slow-marked integration tests cover the deep paths
+# (measured 80.8%)
 COV_THRESHOLD ?= 85
+COV_FAST_THRESHOLD ?= 78
 
 .PHONY: test test-full fast-test contracts bench ci ci-full
 
 test:
+	FARKLE_COV_THRESHOLD=$(COV_FAST_THRESHOLD) \
+	FARKLE_COV_OUT=results/coverage_fast.json \
 	python -m pytest tests/ -q -m "not slow"
 
 test-full:
