@@ -46,8 +46,22 @@ def main() -> None:
     on_accel = platform != "cpu"
     # candidate (n_chunks, shuffles_per_chunk) block shapes, largest first;
     # some batch shapes have faulted the TPU runtime (FAILURE_NOTES), so the
-    # ladder falls back rather than producing no number
+    # ladder falls back rather than producing no number. A hard libtpu fault
+    # kills the whole process, so bigger rungs are attempted ONLY when the
+    # probed envelope recorded that chunk shape fault-free for k=5 (the
+    # chunk and block-scan programs share the game-kernel batch geometry).
     ladder = [(8, 64), (8, 16), (4, 16)] if on_accel else [(2, 2)]
+    if on_accel:
+        from farkle_ii_tpu.utils.fault_envelope import load_fault_envelope
+
+        envelope = load_fault_envelope("results/fault_envelope.json")
+        if envelope is not None:
+            probed_bigger = [
+                (8, ns)
+                for ns in (128, 96)
+                if envelope.is_probed_ok(k, ns, True)
+            ]
+            ladder = probed_bigger + ladder
 
     from farkle_ii_tpu.utils.aot_cache import cached_compile
 
