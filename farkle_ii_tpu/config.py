@@ -287,7 +287,10 @@ class TPUConfig:
     profile_dir: str | None = None  # jax.profiler trace output for one cell run
     # straggler compaction inside the game kernel: ~2-3x faster on long-tail
     # games, but some irregular batch shapes have triggered hard TPU-runtime
-    # faults in the partition/gather path; disable for affected workloads
+    # faults in the partition/gather path; disable for affected workloads.
+    # True means *allowed*: with a probed fault envelope the runner picks the
+    # measured-fastest (chunk, compaction) shape per k, which may be a larger
+    # compaction-off chunk where the compacted shape faults. False forces off.
     straggler_compaction: bool = True
     # compacted batches are padded to a multiple of this (fault-safe shapes);
     # probe with scripts/probe_fault_envelope.py before changing

@@ -365,13 +365,26 @@ def run_cell(
         cfg.tpu.fault_envelope_path, n_strategies=len(strategies)
     )
     if envelope is not None:
-        probed = envelope.best_ns(int(n), compact=compact, cap=ns_cap)
-        if probed is not None and probed != ns_device:
-            logger.info(
-                "k=%d: device chunk %d shuffles from the probed fault "
-                "envelope (configured %d)", n, probed, ns_device,
-            )
-            ns_device = probed
+        if compact:
+            # compaction "on" means *allowed*: the fault boundary lives in
+            # the compaction path, so the envelope may pick a larger
+            # compaction-off chunk where the compacted shape hard-faults
+            shape = envelope.best_shape(int(n), cap=ns_cap)
+            if shape is not None and shape != (ns_device, compact):
+                logger.info(
+                    "k=%d: device chunk %d shuffles (compaction %s) from "
+                    "the probed fault envelope (configured %d, on)",
+                    n, shape[0], "on" if shape[1] else "off", ns_device,
+                )
+                ns_device, compact = shape
+        else:
+            probed = envelope.best_ns(int(n), compact=False, cap=ns_cap)
+            if probed is not None and probed != ns_device:
+                logger.info(
+                    "k=%d: device chunk %d shuffles from the probed fault "
+                    "envelope (configured %d)", n, probed, ns_device,
+                )
+                ns_device = probed
 
     # multi-chip: shard whole shuffles over the device mesh (the production
     # analogue of the reference's process-pool shuffle fan-out,

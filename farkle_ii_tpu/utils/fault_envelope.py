@@ -79,6 +79,26 @@ class FaultEnvelope:
         """Measured steady-state games/s of one probed chunk shape."""
         return (self.shape_speed or {}).get((int(k), int(ns), bool(compact)))
 
+    def best_shape(self, k: int, *, cap: int) -> tuple[int, bool] | None:
+        """Fastest probed (ns, compact) chunk shape for ``k`` under ``cap``.
+
+        Considers BOTH compaction variants: the fault boundary lives in the
+        compaction path, so where a compacted shape hard-faults (round-3
+        kernel at k=4/5, ns=43) the compaction-off variant of a larger
+        chunk can out-run the largest safe compacted one. Falls back to the
+        compacted ``best_ns`` choice when nothing is speed-probed.
+        """
+        timed = [
+            (speed, ns, cc)
+            for (kk, ns, cc), speed in (self.shape_speed or {}).items()
+            if kk == int(k) and ns <= int(cap) and speed is not None
+        ]
+        if timed:
+            speed, ns, cc = max(timed)
+            return ns, cc
+        ns = self.best_ns(k, compact=True, cap=cap)
+        return (ns, True) if ns is not None else None
+
     def best_block_group(
         self,
         k: int,

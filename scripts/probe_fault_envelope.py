@@ -281,6 +281,12 @@ def main() -> int:
                     help="comma-separated single-chunk shuffle counts")
     ap.add_argument("--nocompact-too", action="store_true")
     ap.add_argument(
+        "--nocompact-only", action="store_true",
+        help="probe only compaction-off shapes (the fault boundary is "
+        "compaction-path specific; off-variants may be safe where the "
+        "compacted shape hard-faults)",
+    )
+    ap.add_argument(
         "--h2h-batches", default="",
         help="comma-separated 2-seat H2H dispatch batch sizes to probe too",
     )
@@ -307,7 +313,12 @@ def main() -> int:
     repo = Path(__file__).resolve().parent.parent
     ks = [int(v) for v in args.k.split(",")]
     nss = [int(v) for v in args.ns.split(",") if v]
-    compacts = [True, False] if args.nocompact_too else [True]
+    if args.nocompact_only:
+        compacts = [False]
+    elif args.nocompact_too:
+        compacts = [True, False]
+    else:
+        compacts = [True]
 
     probes: list = []
     block_group_probes: list = []

@@ -207,3 +207,21 @@ def test_block_resume_rejects_old_dice_stream(tmp_path):
     save_block_aggregate(path, acc, batch_id=0, coordinates=legacy)
     with pytest.raises(ValueError, match="dice_stream"):
         load_block_aggregate(path, expected_coordinates=coords)
+
+
+def test_best_shape_considers_compaction_off(tmp_path):
+    payload = _payload([[4, 16, True], [4, 43, False]])
+    payload["probes"] = [
+        {"k": 4, "ns": 16, "compact": True, "ok": True, "games_per_sec": 282_000},
+        {"k": 4, "ns": 43, "compact": True, "ok": False, "games_per_sec": None},
+        {"k": 4, "ns": 43, "compact": False, "ok": True, "games_per_sec": 400_000},
+    ]
+    env = load_fault_envelope(_write(tmp_path, payload))
+    # the compaction-off 43 out-runs the largest safe compacted chunk
+    assert env.best_shape(4, cap=43) == (43, False)
+    # under a tighter cap the compacted 16 wins again
+    assert env.best_shape(4, cap=20) == (16, True)
+    # untimed artifacts fall back to the compacted best_ns choice
+    legacy = load_fault_envelope(_write(tmp_path, _payload([[4, 16, True]])))
+    assert legacy.best_shape(4, cap=43) == (16, True)
+    assert legacy.best_shape(9, cap=43) is None
