@@ -11,6 +11,6 @@ LOG=/tmp/envprobe_r3.log
 while kill -0 "$(cat /tmp/envprobe_r3.pid 2>/dev/null)" 2>/dev/null; do sleep 20; done
 exec >> "$LOG" 2>&1
 echo "=== phase 2 (block groups) start $(date) ==="
-python scripts/probe_fault_envelope.py --root-seed 102 --k 2 --ns "" --block-groups 2,3,4,6 --nsb 43 --timeout 900
+python scripts/probe_fault_envelope.py --root-seed 102 --k 2 --ns "" --block-groups 2,3 --nsb 43 --timeout 900
 python scripts/probe_fault_envelope.py --root-seed 102 --k 12,10,8 --ns "" --block-groups 2,3,4 --nsb 43 --timeout 900
 echo "=== phase 2 done $(date) ==="
