@@ -27,7 +27,10 @@ timeout 2000 python scripts/probe_fault_envelope.py --k 2 --ns "" --h2h-batches 
 
 echo "=== bench start $(date +%s) $(date) ==="
 timeout 900 python bench.py
-echo "=== mega run (cold resume, populates AOT cache) start $(date +%s) $(date) ==="
+echo "=== mega run (cold, populates AOT cache) start $(date +%s) $(date) ==="
+# fresh dir: the aborted earlier run used the 100x43 plan; the 67x64 plan's
+# coordinates would replay everything anyway
+rm -rf data_mega_r3
 timeout 3600 python -m farkle_ii_tpu --config configs/mega_config.yaml \
   --set io.results_dir_prefix=data_mega_r3/results \
   --set sim.seed_list=[102] run
