@@ -564,8 +564,12 @@ def run_cell(
 
             else:
 
+                # scan family: dispatch/fetch round trips amortize across
+                # the scanned blocks while each step keeps the fault-probed
+                # per-block batch shape (flat m-block batches measure slower,
+                # results/scan_shape_sweep_k5.json)
                 def fn(p, sh):
-                    return T.play_and_aggregate_blocks(
+                    return T.play_and_aggregate_blocks_scanned(
                         spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
                         game_kwargs=agg_kwargs,
                     )
@@ -575,9 +579,15 @@ def run_cell(
 
                 step_cache[key] = cached_compile(
                     fn, params, jnp.zeros((m, nsb), dtype=jnp.uint32),
-                    extra_key=f"blkgrp-k{spec.k}-s{spec.n_strategies}"
-                    f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
-                    f"-p{pad_multiple}-rows{int(with_rows)}"
+                    extra_key=(
+                        f"blkgrp-k{spec.k}-s{spec.n_strategies}"
+                        f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
+                        f"-p{pad_multiple}-rows1"
+                        if with_rows
+                        else f"blkscan-k{spec.k}-s{spec.n_strategies}"
+                        f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
+                        f"-p{pad_multiple}"
+                    )
                     + ("" if compact_ else "-nocompact"),
                 )
             else:

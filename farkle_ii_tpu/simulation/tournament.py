@@ -432,6 +432,49 @@ def play_and_aggregate_blocks(
     return jnp.stack(rows)
 
 
+def play_and_aggregate_blocks_scanned(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices_2d: jax.Array,  # (m_blocks, nsb) uint32, nsb <= 128
+    *,
+    compact: bool = True,
+    pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
+) -> jax.Array:
+    """Scan a group of recovery blocks on device; aggregate per block.
+
+    Same (m, packed_length) int32 contract as
+    :func:`play_and_aggregate_blocks`, but the blocks run as a
+    ``lax.scan`` of per-block game batches instead of one flat batch.
+    Measured on v5e the scan family out-runs the flat m-block batch at
+    production sizes (``results/scan_shape_sweep_k5.json``: the 8x64 chunk
+    scan sustains 1.32M games/s at k=5 where the flat variant reaches
+    ~1.07M and a single 64-shuffle dispatch only 683k — dispatch/fetch
+    round trips amortize across the scanned blocks while each step keeps
+    the fault-probed per-block batch shape). Per-block int32 aggregates
+    are exact by the ``MAX_SHUFFLES_PER_BATCH`` bound; no limb carry is
+    needed because nothing sums across blocks.
+    """
+    m, nsb = shuffle_indices_2d.shape
+    if nsb > MAX_SHUFFLES_PER_BATCH:
+        raise ValueError(
+            f"block size {nsb} exceeds exact-aggregation bound "
+            f"{MAX_SHUFFLES_PER_BATCH}"
+        )
+
+    def body(_, sh):
+        packed = pack_aggregates(
+            play_and_aggregate(
+                spec, params, sh, compact=compact, pad_multiple=pad_multiple,
+                game_kwargs=game_kwargs,
+            )
+        )
+        return None, packed
+
+    _, rows = jax.lax.scan(body, None, shuffle_indices_2d)
+    return rows
+
+
 def play_and_aggregate_blocks_with_rows(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],

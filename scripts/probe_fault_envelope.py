@@ -88,13 +88,13 @@ params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
           jnp.asarray(p.flags))
 spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
 fn = cached_compile(
-    lambda prm, sh: T.play_and_aggregate_blocks(
+    lambda prm, sh: T.play_and_aggregate_blocks_scanned(
         spec, prm, sh, compact=compact, pad_multiple=4096),
     params, jnp.zeros((m, nsb), dtype=jnp.uint32),
     # exact production cache key (runner.group_step_for): the probe sweep
     # then pre-warms the executables the mega run will load
-    extra_key=f"blkgrp-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
-    f"-t{{spec.target_score}}-r{{spec.max_rounds}}-p4096-rows0"
+    extra_key=f"blkscan-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
+    f"-t{{spec.target_score}}-r{{spec.max_rounds}}-p4096"
     + ("" if compact else "-nocompact"),
 )
 sh0 = 0

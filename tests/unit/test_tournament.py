@@ -209,3 +209,24 @@ def test_block_group_rejects_oversized_blocks(params):
     sh = jnp.zeros((1, T.MAX_SHUFFLES_PER_BATCH + 1), dtype=jnp.uint32)
     with pytest.raises(ValueError):
         T.play_and_aggregate_blocks(spec, params, sh)
+
+
+def test_scanned_blocks_bit_identical_to_flat_and_per_block(params):
+    # the scan-family group program must reproduce the flat group's and each
+    # single block's packed aggregates bit-for-bit (same per-block reductions,
+    # different execution schedule)
+    spec = T.TournamentSpec(root_seed=19, k=3, n_strategies=24)
+    m, nsb = 3, 4
+    sh = jnp.arange(m * nsb, dtype=jnp.uint32).reshape(m, nsb)
+    scanned = np.asarray(
+        jax.jit(lambda s: T.play_and_aggregate_blocks_scanned(spec, params, s))(sh)
+    )
+    flat = np.asarray(
+        jax.jit(lambda s: T.play_and_aggregate_blocks(spec, params, s))(sh)
+    )
+    np.testing.assert_array_equal(scanned, flat)
+    with pytest.raises(ValueError):
+        T.play_and_aggregate_blocks_scanned(
+            spec, params,
+            jnp.zeros((1, T.MAX_SHUFFLES_PER_BATCH + 1), dtype=jnp.uint32),
+        )
