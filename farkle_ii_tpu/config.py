@@ -759,9 +759,19 @@ def _validate_statistical_contract(cfg: AppConfig, *, require_two_roots: bool) -
     gps = cfg.screening.projected_games_per_second
     if gps is not None and (not math.isfinite(gps) or gps <= 0.0):
         raise ValueError("screening.projected_games_per_second must be positive when configured")
-    if cfg.batching.target_batches != 100 or cfg.batching.min_shuffles_per_batch < 30:
+    # Deliberate delta vs the reference (config.py:1745 pins exactly 100):
+    # equal batches remain the MCSE/resampling unit, but the batch COUNT may
+    # be tuned within [50, 200] so recovery blocks can align to measured-fast
+    # device batch shapes (mega uses 67 blocks of 64 shuffles; 43-shuffle
+    # blocks are slow and fault-prone on v5e — see results/fault_envelope.json
+    # and tests/FAILURE_NOTES.md). >=50 batches keeps the deterministic-batch
+    # MCSE well-conditioned; the default stays 100.
+    if (
+        not 50 <= cfg.batching.target_batches <= 200
+        or cfg.batching.min_shuffles_per_batch < 30
+    ):
         raise ValueError(
-            "batching requires exactly 100 equal batches with at least 30 "
+            "batching requires 50-200 equal batches with at least 30 "
             "shuffles per batch"
         )
 
