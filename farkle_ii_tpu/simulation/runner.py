@@ -531,29 +531,30 @@ def run_cell(
     # blocks into ONE device batch with per-block exact aggregation
     # (T.play_and_aggregate_blocks) — per-block persistence/resume unchanged.
     group_m = 1
+    group_family = "scan"
     nsb = plan.shuffles_per_batch
     if n_mesh == 1 and nsb <= T.MAX_SHUFFLES_PER_BATCH:
         cfg_m = cfg.tpu.blocks_per_dispatch
         if cfg_m is not None:
             group_m = max(1, int(cfg_m))
         elif envelope is not None:
-            probed_m = envelope.best_block_group(
+            probed = envelope.best_block_group(
                 int(n), nsb=nsb, compact=compact, max_m=plan.batch_count,
                 floor_speed=envelope.chunk_speed(
                     int(n), ns=ns_device, compact=compact
                 ),
             )
-            if probed_m:
-                group_m = probed_m
+            if probed:
+                group_m, group_family = probed
                 logger.info(
-                    "k=%d: %d blocks per dispatch from the probed envelope "
-                    "(%d shuffles, %d games per device batch)",
-                    n, group_m, group_m * nsb,
+                    "k=%d: %d blocks per %s dispatch from the probed "
+                    "envelope (%d shuffles, %d games per device batch)",
+                    n, group_m, group_family, group_m * nsb,
                     group_m * nsb * plan.games_per_shuffle,
                 )
 
     def group_step_for(m: int, compact_: bool):
-        key = ("group", m, compact_, with_rows)
+        key = ("group", m, compact_, with_rows, group_family)
         if key not in step_cache:
             if with_rows:
 
@@ -564,12 +565,18 @@ def run_cell(
 
             else:
 
-                # scan family: dispatch/fetch round trips amortize across
-                # the scanned blocks while each step keeps the fault-probed
-                # per-block batch shape (flat m-block batches measure slower,
-                # results/scan_shape_sweep_k5.json)
+                # both group program families keep per-block packed
+                # aggregates; the measured-faster one is k-dependent (scan
+                # amortizes dispatch round trips per step; the flat batch
+                # fills the pipeline deeper) — the probed envelope picks
+                play = (
+                    T.play_and_aggregate_blocks_scanned
+                    if group_family == "scan"
+                    else T.play_and_aggregate_blocks
+                )
+
                 def fn(p, sh):
-                    return T.play_and_aggregate_blocks_scanned(
+                    return play(
                         spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
                         game_kwargs=agg_kwargs,
                     )
@@ -584,7 +591,7 @@ def run_cell(
                         f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
                         f"-p{pad_multiple}-rows1"
                         if with_rows
-                        else f"blkscan-k{spec.k}-s{spec.n_strategies}"
+                        else f"blk{group_family}-k{spec.k}-s{spec.n_strategies}"
                         f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
                         f"-p{pad_multiple}"
                     )

@@ -34,9 +34,11 @@ class FaultEnvelope:
     # (k, ns, compact) -> measured steady-state games/s (None when the probe
     # predates speed recording)
     shape_speed: dict[tuple[int, int, bool], float] = None  # type: ignore[assignment]
-    # (k, m_blocks, nsb, compact) -> games/s for the block-group program
-    # (one dispatch plays m whole recovery blocks; distinct program family)
-    block_groups: dict[tuple[int, int, int, bool], float] = None  # type: ignore[assignment]
+    # (k, m_blocks, nsb, compact, family) -> games/s for the block-group
+    # programs (one dispatch plays m whole recovery blocks). family is
+    # "scan" (lax.scan of per-block batches) or "flat" (one m*nsb batch);
+    # the faster one is k-dependent, so both are probed and recorded.
+    block_groups: dict[tuple[int, int, int, bool, str], float] = None  # type: ignore[assignment]
     # probed 2-seat H2H dispatch batches: batch -> games/s (None speed when
     # the probe predates speed recording), plus the fault-free set
     h2h_speeds: dict[int, float] = None  # type: ignore[assignment]
@@ -107,29 +109,29 @@ class FaultEnvelope:
         compact: bool,
         max_m: int,
         floor_speed: float | None = None,
-    ) -> int | None:
-        """Fastest probed-safe block-group size m for ``(k, nsb)``.
+    ) -> tuple[int, str] | None:
+        """Fastest probed-safe block-group (m, family) for ``(k, nsb)``.
 
         Only probes with the exact per-block shuffle count transfer (the
-        program batch shape is m*nsb shuffles). Returns None when nothing
+        program batch covers m*nsb shuffles). Returns None when nothing
         matches — or when the best group probe is no faster than
-        ``floor_speed`` (the per-block chunk-scan alternative the runner
-        would otherwise use; measured on v5e the flat m-block program can be
-        slower than the pipelined chunk scan at large batches,
-        ``results/scan_shape_sweep_k5.json``).
+        ``floor_speed`` (the per-block dispatch alternative the runner
+        would otherwise use). The winning program family is k-dependent
+        (measured on v5e: scan wins at k=2, flat at k=5), so the choice is
+        taken over both.
         """
         timed = [
-            (speed, m)
-            for (kk, m, bb, cc), speed in (self.block_groups or {}).items()
+            (speed, m, fam)
+            for (kk, m, bb, cc, fam), speed in (self.block_groups or {}).items()
             if kk == int(k) and bb == int(nsb) and cc == bool(compact)
             and m <= int(max_m)
         ]
         if not timed:
             return None
-        speed, m = max(timed)
+        speed, m, fam = max(timed)
         if floor_speed is not None and speed <= floor_speed:
             return None
-        return m
+        return m, fam
 
     def best_h2h_batch(self, *, cap: int | None = None) -> int | None:
         """Fastest probed-fault-free 2-seat H2H dispatch batch.
@@ -181,7 +183,10 @@ def load_fault_envelope(
         }
         block_groups = {
             (
-                int(pr["k"]), int(pr["m"]), int(pr["nsb"]), bool(pr["compact"])
+                int(pr["k"]), int(pr["m"]), int(pr["nsb"]),
+                bool(pr["compact"]),
+                # records written before the family field are scan probes
+                str(pr.get("family") or "scan"),
             ): float(pr["games_per_sec"])
             for pr in data.get("block_group_probes", [])
             if pr.get("ok") and pr.get("games_per_sec")

@@ -81,19 +81,21 @@ from farkle_ii_tpu.simulation import tournament as T
 from farkle_ii_tpu.utils.aot_cache import cached_compile
 
 k, m, nsb, compact = {k}, {m}, {nsb}, {compact}
+family = {family!r}
 root_seed = {root_seed}
 grid = S.build_strategy_grid()
 p = S.pack_strategy_params(grid)
 params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
           jnp.asarray(p.flags))
 spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
+play = (T.play_and_aggregate_blocks_scanned if family == "scan"
+        else T.play_and_aggregate_blocks)
 fn = cached_compile(
-    lambda prm, sh: T.play_and_aggregate_blocks_scanned(
-        spec, prm, sh, compact=compact, pad_multiple=4096),
+    lambda prm, sh: play(spec, prm, sh, compact=compact, pad_multiple=4096),
     params, jnp.zeros((m, nsb), dtype=jnp.uint32),
     # exact production cache key (runner.group_step_for): the probe sweep
     # then pre-warms the executables the mega run will load
-    extra_key=f"blkscan-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
+    extra_key=f"blk{{family}}-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
     f"-t{{spec.target_score}}-r{{spec.max_rounds}}-p4096"
     + ("" if compact else "-nocompact"),
 )
@@ -201,12 +203,17 @@ def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
 
 def probe_one_block_group(
     repo: Path, k: int, m: int, nsb: int, compact: bool, timeout: float,
-    root_seed: int = 1234,
+    root_seed: int = 1234, family: str = "scan",
 ) -> dict:
-    """Probe one block-group shape (one dispatch = m whole recovery blocks)."""
+    """Probe one block-group shape (one dispatch = m whole recovery blocks).
+
+    ``family``: "scan" = lax.scan of per-block batches; "flat" = one flat
+    m*nsb-shuffle batch. The faster family is k-dependent (measured: scan
+    wins at k=2, flat at k=5), so both are probed and recorded.
+    """
     code = _BLOCK_GROUP_SNIPPET.format(
         repo=str(repo), k=k, m=m, nsb=nsb, compact=compact,
-        root_seed=root_seed,
+        root_seed=root_seed, family=family,
     )
     start = time.perf_counter()
     extra: dict = {}
@@ -227,7 +234,7 @@ def probe_one_block_group(
         rc, ok = -9, False
         tail = f"timeout after {timeout}s: " + str(exc)[-500:]
     return {
-        "k": k, "m": m, "nsb": nsb, "compact": compact,
+        "k": k, "m": m, "nsb": nsb, "compact": compact, "family": family,
         "ok": ok, "rc": rc,
         "seconds": round(time.perf_counter() - start, 1),
         "steady_s": extra.get("steady_s"),
@@ -297,6 +304,10 @@ def main() -> int:
     )
     ap.add_argument("--nsb", type=int, default=43,
                     help="shuffles per recovery block for --block-groups")
+    ap.add_argument("--group-families", default="scan,flat",
+                    help="block-group program families to probe "
+                    "(scan = lax.scan of per-block batches, flat = one "
+                    "flat m*nsb batch; the faster one is k-dependent)")
     ap.add_argument(
         "--root-seed", type=int, default=1234,
         help="tournament root seed for chunk/block-group probes; pass the "
@@ -343,16 +354,18 @@ def main() -> int:
                 print(json.dumps(result), flush=True)
                 flush()
 
+    families = [f for f in args.group_families.split(",") if f]
     for k in ks:
         for m in [int(v) for v in args.block_groups.split(",") if v]:
             for compact in compacts:
-                result = probe_one_block_group(
-                    repo, k, m, args.nsb, compact, args.timeout,
-                    root_seed=args.root_seed,
-                )
-                block_group_probes.append(result)
-                print(json.dumps(result), flush=True)
-                flush()
+                for family in families:
+                    result = probe_one_block_group(
+                        repo, k, m, args.nsb, compact, args.timeout,
+                        root_seed=args.root_seed, family=family,
+                    )
+                    block_group_probes.append(result)
+                    print(json.dumps(result), flush=True)
+                    flush()
 
     for batch in [int(v) for v in args.h2h_batches.split(",") if v]:
         result = probe_one_h2h(repo, batch, args.timeout)
@@ -400,7 +413,7 @@ def _write_envelope(
         probes = merged(old.get("probes", []), probes, ("k", "ns", "compact"))
         block_group_probes = merged(
             old.get("block_group_probes", []), block_group_probes,
-            ("k", "m", "nsb", "compact"),
+            ("k", "m", "nsb", "compact", "family"),
         )
         h2h_probes = merged(old.get("h2h_probes", []), h2h_probes, ("h2h_batch",))
 

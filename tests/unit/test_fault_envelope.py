@@ -86,15 +86,17 @@ def test_best_block_group_exact_nsb_only(tmp_path):
     payload = _payload([])
     payload["block_group_probes"] = [
         {"k": 2, "m": 4, "nsb": 43, "compact": True, "ok": True, "games_per_sec": 2_000_000},
+        # legacy record without a family field: treated as a scan probe
         {"k": 2, "m": 8, "nsb": 43, "compact": True, "ok": True, "games_per_sec": 3_000_000},
+        {"k": 2, "m": 8, "nsb": 43, "compact": True, "family": "flat", "ok": True, "games_per_sec": 3_500_000},
         {"k": 2, "m": 16, "nsb": 43, "compact": True, "ok": False, "games_per_sec": None},
         {"k": 2, "m": 8, "nsb": 50, "compact": True, "ok": True, "games_per_sec": 9_000_000},
     ]
     env = load_fault_envelope(_write(tmp_path, payload))
-    # fastest safe m for the exact per-block shuffle count; other nsb values
-    # are a different program shape and must not transfer
-    assert env.best_block_group(2, nsb=43, compact=True, max_m=100) == 8
-    assert env.best_block_group(2, nsb=43, compact=True, max_m=6) == 4
+    # fastest safe (m, family) for the exact per-block shuffle count; other
+    # nsb values are a different program shape and must not transfer
+    assert env.best_block_group(2, nsb=43, compact=True, max_m=100) == (8, "flat")
+    assert env.best_block_group(2, nsb=43, compact=True, max_m=6) == (4, "scan")
     assert env.best_block_group(2, nsb=41, compact=True, max_m=100) is None
     assert env.best_block_group(3, nsb=43, compact=True, max_m=100) is None
 
@@ -116,10 +118,10 @@ def test_block_group_floor_speed(tmp_path):
     # and accepted when it actually beats the chunk path
     assert (
         env.best_block_group(5, nsb=43, compact=True, max_m=100, floor_speed=900_000.0)
-        == 8
+        == (8, "scan")
     )
     # no floor (no timed chunk probe) keeps the old behavior
-    assert env.best_block_group(5, nsb=43, compact=True, max_m=100, floor_speed=None) == 8
+    assert env.best_block_group(5, nsb=43, compact=True, max_m=100, floor_speed=None) == (8, "scan")
 
 
 def test_best_h2h_batch(tmp_path):
