@@ -14,15 +14,9 @@ while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
 exec >> "$LOG" 2>&1
 
 echo "=== phase 3 redo start $(date +%s) $(date) ==="
-# the round-3 kernel moved the fault boundary: k=4/5 compacted 43-chunks now
-# hard-fault (safe in round 2). Probe the compaction-off 43s and the never
-# -probed intermediate compacted shapes so best_shape can route around it.
-timeout 3000 python scripts/probe_fault_envelope.py --root-seed 102 --k 2,4,5 --ns 43 --nocompact-only --timeout 900
-timeout 3000 python scripts/probe_fault_envelope.py --root-seed 102 --k 2,4,5 --ns 24,32 --timeout 900
+# bench ladder rungs (k=5 large block shapes) + the next H2H dispatch octave
+# (throughput still rising at 262k games -> 2.57M games/s)
 timeout 2000 python scripts/probe_fault_envelope.py --root-seed 102 --k 5 --ns 96,128 --timeout 900
-timeout 2000 python scripts/probe_fault_envelope.py --root-seed 102 --k 4,6 --ns 96 --timeout 900
-# H2H dispatch speed rises monotonically through 262k games (2.57M games/s);
-# probe the next octave before production picks the fastest
 timeout 2000 python scripts/probe_fault_envelope.py --k 2 --ns "" --h2h-batches 524288,1048576 --timeout 900
 
 echo "=== bench start $(date +%s) $(date) ==="
