@@ -46,12 +46,15 @@ def main() -> int:
     groups = [p for p in data.get("block_group_probes", []) if p.get("ok")]
     if groups:
         print()
-        print("| k | m×nsb | games/s |")
-        print("|---|---|---|")
-        for p in sorted(groups, key=lambda p: (p["k"], p["m"])):
+        print("| k | m×nsb | family | games/s |")
+        print("|---|---|---|---|")
+        for p in sorted(
+            groups, key=lambda p: (p["k"], p["m"], p.get("family") or "scan")
+        ):
             gps = p.get("games_per_sec")
             print(
                 f"| {p['k']} | {p['m']}×{p['nsb']} | "
+                f"{p.get('family') or 'scan'} | "
                 + (f"{gps / 1e3:,.0f}k" if gps else "ok")
                 + " |"
             )
