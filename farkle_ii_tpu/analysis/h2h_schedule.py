@@ -55,6 +55,14 @@ logger = logging.getLogger(__name__)
 # cfg.tpu.h2h_games_per_dispatch (0 = auto from the probed fault envelope,
 # scripts/probe_fault_envelope.py --h2h-batches)
 _H2H_GAMES_PER_DISPATCH = 16384
+# ceiling on the envelope-derived auto choice: the probes time a FLAT
+# play_games batch, but execution compiles the fused attempt-window program
+# ((blocks, window) + stop-at-target scan) — a 1,048,576-game auto cap
+# produced a window program whose remote compile crashed the TPU backend
+# (UNAVAILABLE after ~25 min) even though the flat batch probed clean at
+# 2.79M games/s. Until window-shaped probes exist, bound auto at 4x the
+# production-proven 16,384 cap (probed flat: 65,536 -> 1.18M games/s).
+_H2H_AUTO_CAP = 65536
 
 
 def _resolve_h2h_dispatch_cap(cfg: AppConfig) -> int:
@@ -68,7 +76,7 @@ def _resolve_h2h_dispatch_cap(cfg: AppConfig) -> int:
 
     envelope = load_fault_envelope(cfg.tpu.fault_envelope_path)
     if envelope is not None:
-        probed = envelope.best_h2h_batch()
+        probed = envelope.best_h2h_batch(cap=_H2H_AUTO_CAP)
         if probed:
             logger.info(
                 "h2h dispatch cap %d games from probed envelope", probed
