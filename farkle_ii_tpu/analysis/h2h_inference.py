@@ -71,22 +71,21 @@ class ScoreResult:
 
 def two_proportion_score_test(count1: int, nobs1: int, count2: int, nobs2: int) -> ScoreResult:
     """Constrained-null two-proportion score test."""
-    if nobs1 <= 0 or nobs2 <= 0:
-        raise ValueError("two-proportion score tests require positive sample sizes")
-    if not 0 <= count1 <= nobs1 or not 0 <= count2 <= nobs2:
-        raise ValueError("two-proportion score counts must lie within their sample sizes")
-    rate1, rate2 = count1 / nobs1, count2 / nobs2
-    difference = rate1 - rate2
-    null_prop = (count1 + count2) / (nobs1 + nobs2)
-    variance = null_prop * (1.0 - null_prop) * (1.0 / nobs1 + 1.0 / nobs2)
-    if variance > 0.0:
-        statistic = difference / math.sqrt(variance)
-        p_value = float(2.0 * norm.sf(abs(statistic)))
-    elif difference == 0.0:
-        statistic, p_value = 0.0, 1.0
+    if min(nobs1, nobs2) <= 0:
+        raise ValueError("score test needs a nonempty sample on each side")
+    if min(count1, count2) < 0 or count1 > nobs1 or count2 > nobs2:
+        raise ValueError("score-test win counts exceed their sample sizes")
+    delta = count1 / nobs1 - count2 / nobs2
+    pooled = (count1 + count2) / (nobs1 + nobs2)
+    var = pooled * (1.0 - pooled) * (1.0 / nobs1 + 1.0 / nobs2)
+    if var > 0.0:
+        z = delta / math.sqrt(var)
+        p_value = 2.0 * float(norm.sf(abs(z)))
+    elif delta == 0.0:
+        z, p_value = 0.0, 1.0
     else:
-        statistic, p_value = math.copysign(math.inf, difference), 0.0
-    return ScoreResult(difference, null_prop, statistic, p_value)
+        z, p_value = math.copysign(math.inf, delta), 0.0
+    return ScoreResult(delta, pooled, z, p_value)
 
 
 def _restricted_mle_p1(
@@ -119,31 +118,27 @@ def _restricted_mle_p1(
 
 
 def _score_statistic_at_difference(
-    count1: int, nobs1: int, count2: int, nobs2: int, difference: float
+    count1: int, nobs1: int, count2: int, nobs2: int, delta: float
 ) -> float:
-    """Constrained-MLE score statistic at a hypothesized difference.
+    """Constrained-MLE score statistic at a hypothesized difference ``delta``.
 
-    Degenerate hypotheses pin both proportions (``|difference| >= 1``); a
-    zero difference reduces the restricted MLE to the pooled rate.
+    Degenerate hypotheses pin both proportions (``|delta| >= 1``); a zero
+    delta reduces the restricted MLE to the pooled rate.
     """
-    observed = count1 / nobs1 - count2 / nobs2
-    if difference <= -1.0:
-        p1, p2 = 0.0, 1.0
-    elif difference >= 1.0:
-        p1, p2 = 1.0, 0.0
-    elif difference == 0.0:
+    d_hat = count1 / nobs1 - count2 / nobs2
+    if abs(delta) >= 1.0:
+        p1, p2 = (0.0, 1.0) if delta < 0.0 else (1.0, 0.0)
+    elif delta == 0.0:
         p1 = p2 = (count1 + count2) / (nobs1 + nobs2)
     else:
-        p1 = _restricted_mle_p1(count1, nobs1, count2, nobs2, difference)
-        p2 = max(0.0, min(1.0, p1 - difference))
-        p1 = max(0.0, min(1.0, p1))
-    variance = p1 * (1.0 - p1) / nobs1 + p2 * (1.0 - p2) / nobs2
-    numerator = observed - difference
-    if variance > 0.0:
-        return numerator / math.sqrt(variance)
-    if numerator == 0.0:
-        return 0.0
-    return math.copysign(math.inf, numerator)
+        root = _restricted_mle_p1(count1, nobs1, count2, nobs2, delta)
+        p2 = max(0.0, min(1.0, root - delta))
+        p1 = max(0.0, min(1.0, root))
+    var = p1 * (1.0 - p1) / nobs1 + p2 * (1.0 - p2) / nobs2
+    resid = d_hat - delta
+    if var > 0.0:
+        return resid / math.sqrt(var)
+    return 0.0 if resid == 0.0 else math.copysign(math.inf, resid)
 
 
 def _score_interval_bound(
@@ -157,8 +152,8 @@ def _score_interval_bound(
     distance to the estimate, until the test stops rejecting; the first
     crossing then lies in the last halving step and Brent's method pins it.
     """
-    if observed == endpoint:
-        return endpoint
+    if endpoint == observed:
+        return float(endpoint)
 
     def excess(difference: float) -> float:
         stat = _score_statistic_at_difference(count1, nobs1, count2, nobs2, difference)
@@ -185,54 +180,58 @@ def score_difference_interval(
     count1: int, nobs1: int, count2: int, nobs2: int, *, alpha: float
 ) -> tuple[float, float]:
     """Invert the constrained score test for the difference of proportions."""
-    if not 0.0 < alpha < 1.0:
-        raise ValueError("score interval alpha must be between zero and one")
-    if nobs1 <= 0 or nobs2 <= 0:
-        raise ValueError("score intervals require positive sample sizes")
-    observed = count1 / nobs1 - count2 / nobs2
-    if observed > 0.0:
+    if alpha <= 0.0 or alpha >= 1.0:
+        raise ValueError("score-interval alpha must lie inside (0, 1)")
+    if min(nobs1, nobs2) <= 0:
+        raise ValueError("score interval needs a nonempty sample on each side")
+    d_hat = count1 / nobs1 - count2 / nobs2
+    if d_hat > 0.0:
         lo, hi = score_difference_interval(count2, nobs2, count1, nobs1, alpha=alpha)
         return -hi, -lo
     critical = float(norm.isf(alpha / 2.0))
-    low = _score_interval_bound(
-        count1, nobs1, count2, nobs2,
-        observed=observed, endpoint=-1.0, critical_value=critical,
-    )
-    high = _score_interval_bound(
-        count1, nobs1, count2, nobs2,
-        observed=observed, endpoint=1.0, critical_value=critical,
+    bounds = tuple(
+        _score_interval_bound(
+            count1, nobs1, count2, nobs2,
+            observed=d_hat, endpoint=side, critical_value=critical,
+        )
+        for side in (-1.0, 1.0)
     )
     if count1 == count2 and nobs1 == nobs2:
-        symmetric = max(abs(low), abs(high))
-        return -symmetric, symmetric
-    return low, high
+        widest = max(abs(bounds[0]), abs(bounds[1]))
+        return -widest, widest
+    return bounds
 
 
 def holm_adjust(p_values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Holm step-down adjusted p-values and stable 1-based positions."""
-    count = len(p_values)
+    m = int(np.size(p_values))
     order = np.argsort(p_values, kind="mergesort")
-    adjusted_sorted = np.maximum.accumulate(
-        np.asarray(
-            [(count - i) * p_values[pos] for i, pos in enumerate(order)], dtype=float
-        )
-    )
-    adjusted = np.empty(count, dtype=float)
-    adjusted[order] = np.minimum(1.0, adjusted_sorted)
-    positions = np.empty(count, dtype=np.int64)
-    positions[order] = np.arange(1, count + 1)
-    return adjusted, positions
+    stepdown = np.asarray(p_values, dtype=float)[order] * np.arange(m, 0, -1, dtype=float)
+    running = np.minimum(1.0, np.maximum.accumulate(stepdown))
+    adjusted = np.empty(m, dtype=float)
+    adjusted[order] = running
+    rank = np.empty(m, dtype=np.int64)
+    rank[order] = 1 + np.arange(m)
+    return adjusted, rank
 
 
 # ── combination & decisions ─────────────────────────────────────────────────
 
 
+_COMBINE_SUM_COLUMNS = (
+    "n_completed_required", "max_attempts", "games_attempted", "games_completed",
+    "games_safety_limit", "replacement_attempt_count",
+    "wins_seat1", "wins_seat2", "wins_a", "wins_b",
+)
+
+
 def combine_within_order(frame: pd.DataFrame, root_count: int) -> pd.DataFrame:
     """Combine raw counts across roots without mixing seat orders."""
-    pair_sizes = frame.groupby("pair_id").size()
-    if not pair_sizes.eq(root_count * 2).all():
-        invalid = pair_sizes.loc[~pair_sizes.eq(root_count * 2)].to_dict()
-        raise ValueError(f"H2H pairs lack complete root/order support: {invalid}")
+    sizes = frame.groupby("pair_id").size()
+    expected_rows = 2 * root_count
+    if not sizes.eq(expected_rows).all():
+        invalid = sizes.loc[sizes != expected_rows].to_dict()
+        raise ValueError(f"incomplete root/order support for H2H pairs: {invalid}")
     combined = (
         frame.groupby(
             ["family_hash", "pair_id", "strategy_a", "strategy_b", "order", "order_label"],
@@ -242,22 +241,13 @@ def combine_within_order(frame: pd.DataFrame, root_count: int) -> pd.DataFrame:
             root_count=("root_seed", "nunique"),
             resolved_cells=("completion_status", lambda v: int((v == "complete").sum())),
             total_cells=("completion_status", "size"),
-            n_completed_required=("n_completed_required", "sum"),
-            max_attempts=("max_attempts", "sum"),
-            games_attempted=("games_attempted", "sum"),
-            games_completed=("games_completed", "sum"),
-            games_safety_limit=("games_safety_limit", "sum"),
-            replacement_attempt_count=("replacement_attempt_count", "sum"),
-            wins_seat1=("wins_seat1", "sum"),
-            wins_seat2=("wins_seat2", "sum"),
-            wins_a=("wins_a", "sum"),
-            wins_b=("wins_b", "sum"),
+            **{c: (c, "sum") for c in _COMBINE_SUM_COLUMNS},
         )
         .sort_values(["pair_id", "order"], kind="mergesort")
         .reset_index(drop=True)
     )
-    if not combined["root_count"].eq(root_count).all():
-        raise ValueError("root combination changed support between seat orders")
+    if (combined["root_count"] != root_count).any():
+        raise ValueError("per-order root support diverged while combining")
     combined["completion_game_rate"] = (
         combined["games_completed"] / combined["games_attempted"]
     )
@@ -273,19 +263,13 @@ def candidate_viability(counts: pd.DataFrame, threshold: float) -> dict[int, dic
         )
         for pid, g in counts.groupby("pair_id", sort=True)
     }
-    rows = []
-    for _, row in counts.iterrows():
-        for strategy in (int(row["strategy_a"]), int(row["strategy_b"])):
-            rows.append(
-                {
-                    "strategy": strategy,
-                    "pair_id": int(row["pair_id"]),
-                    "games_attempted": int(row["games_attempted"]),
-                    "games_completed": int(row["games_completed"]),
-                    "games_safety_limit": int(row["games_safety_limit"]),
-                }
-            )
-    incident = pd.DataFrame(rows)
+    game_cols = ["pair_id", "games_attempted", "games_completed", "games_safety_limit"]
+    halves = []
+    for seat_col in ("strategy_a", "strategy_b"):
+        half = counts[game_cols].copy()
+        half.insert(0, "strategy", counts[seat_col].astype(int))
+        halves.append(half)
+    incident = pd.concat(halves, ignore_index=True)
     status = {}
     for s, g in incident.groupby("strategy", sort=True):
         attempted = int(g["games_attempted"].sum())
@@ -316,7 +300,7 @@ def pairwise_estimates(
     """Per-pair tests, intervals, Holm adjustment, and decision classes."""
     pair_count = int(plan["unordered_pair_count"])
     if combined["pair_id"].nunique() != pair_count:
-        raise ValueError("combined H2H counts do not cover the planned unordered pairs")
+        raise ValueError("combined H2H counts missing planned unordered pairs")
     ordinary_alpha = cfg.head2head.family_alpha
     simultaneous_alpha = ordinary_alpha / pair_count
     rows = []
@@ -334,46 +318,34 @@ def pairwise_estimates(
         if viable and n_ab != n_ba:
             raise ValueError(f"pair {pid} is not exactly balanced between seat orders")
         operational = a_stat["operationally_viable"] and b_stat["operationally_viable"]
+        attempted_total = int(ab["games_attempted"]) + int(ba["games_attempted"])
+        completed_total = n_ab + n_ba
         row = {
-            "family_hash": str(ab["family_hash"]),
-            "pair_id": pid,
-            "strategy_a": sa,
-            "strategy_b": sb,
-            "games_attempted": int(ab["games_attempted"]) + int(ba["games_attempted"]),
-            "games_completed": n_ab + n_ba,
+            "family_hash": str(ab["family_hash"]), "pair_id": pid,
+            "strategy_a": sa, "strategy_b": sb,
+            "games_attempted": attempted_total, "games_completed": completed_total,
             "games_safety_limit": int(ab["games_safety_limit"]) + int(ba["games_safety_limit"]),
-            "completion_game_rate": (
-                (n_ab + n_ba)
-                / (int(ab["games_attempted"]) + int(ba["games_attempted"]))
-            ),
+            "completion_game_rate": completed_total / attempted_total,
             "pair_inferentially_viable": viable,
             "pair_operationally_viable": operational,
             "pair_claim_eligible": viable and operational,
             "strategy_a_completion_rate": a_stat["completion_rate"],
             "strategy_b_completion_rate": b_stat["completion_rate"],
-            "n_ab": n_ab if viable else None,
-            "n_ba": n_ba if viable else None,
-            "q_ab": None,
-            "q_ba": None,
-            "d_ab": None,
-            "score_null_proportion": None,
-            "score_z": None,
-            "score_p_value": None,
+            "n_ab": n_ab if viable else None, "n_ba": n_ba if viable else None,
+            "q_ab": None, "q_ba": None, "d_ab": None,
+            "score_null_proportion": None, "score_z": None, "score_p_value": None,
             "ordinary_alpha": ordinary_alpha,
-            "ordinary_d_low": None,
-            "ordinary_d_high": None,
+            "ordinary_d_low": None, "ordinary_d_high": None,
             "bonferroni_alpha_per_pair": simultaneous_alpha,
-            "simultaneous_d_low": None,
-            "simultaneous_d_high": None,
+            "simultaneous_d_low": None, "simultaneous_d_high": None,
             "descriptive_a_completed_win_rate": (
-                (x_ab + a_wins_ba) / (n_ab + n_ba) if n_ab + n_ba else None
+                (x_ab + a_wins_ba) / completed_total if completed_total else None
             ),
             "formal_test_performed": viable,
             "no_test_p_value_convention": (
                 None if viable else "null_reported_treated_as_one_for_holm"
             ),
-            "score_test_id": SCORE_TEST_ID,
-            "interval_method_id": INTERVAL_METHOD,
+            "score_test_id": SCORE_TEST_ID, "interval_method_id": INTERVAL_METHOD,
             "h2h_method_version": H2H_METHOD_VERSION,
             "planned_target_power": float(plan["target_power"]),
             "planned_worst_scenario_power": float(plan["worst_scenario_achieved_power"]),
@@ -393,18 +365,11 @@ def pairwise_estimates(
                     "actual A-win alias disagrees with the seat-order estimator"
                 )
             row.update(
-                {
-                    "q_ab": x_ab / n_ab,
-                    "q_ba": x_ba / n_ba,
-                    "d_ab": effect,
-                    "score_null_proportion": result.null_proportion,
-                    "score_z": result.statistic,
-                    "score_p_value": result.p_value,
-                    "ordinary_d_low": 0.5 * olow,
-                    "ordinary_d_high": 0.5 * ohigh,
-                    "simultaneous_d_low": 0.5 * slow,
-                    "simultaneous_d_high": 0.5 * shigh,
-                }
+                q_ab=x_ab / n_ab, q_ba=x_ba / n_ba, d_ab=effect,
+                score_null_proportion=result.null_proportion,
+                score_z=result.statistic, score_p_value=result.p_value,
+                ordinary_d_low=0.5 * olow, ordinary_d_high=0.5 * ohigh,
+                simultaneous_d_low=0.5 * slow, simultaneous_d_high=0.5 * shigh,
             )
         rows.append(row)
     output = pd.DataFrame(rows).sort_values("pair_id", kind="mergesort").reset_index(drop=True)

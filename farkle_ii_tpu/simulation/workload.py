@@ -35,7 +35,7 @@ CAP_CONFIG_KEY = "screening.max_shuffles_per_root_k"
 
 
 def _z_score(confidence: float) -> float:
-    if not 0.0 < confidence < 1.0:
+    if confidence <= 0.0 or confidence >= 1.0:
         raise ValueError(f"confidence must lie strictly inside (0, 1), got {confidence!r}")
     return float(norm.ppf(0.5 + confidence / 2.0))
 
@@ -63,11 +63,9 @@ def worst_case_wilson_width(n: int, *, confidence: float = 0.95) -> float:
     return 2.0 * half / (1.0 + z2 / n)
 
 
-def minimum_shuffles_for_resolution(
-    resolution_delta: float, *, confidence: float = 0.95
-) -> int:
+def minimum_shuffles_for_resolution(resolution_delta: float, *, confidence: float = 0.95) -> int:
     """Smallest sample size whose worst-case Wilson width meets the target."""
-    if not 0.0 < resolution_delta < 1.0:
+    if resolution_delta <= 0.0 or resolution_delta >= 1.0:
         raise ValueError(f"resolution_delta must lie strictly inside (0, 1), got {resolution_delta!r}")
     z2 = _z_score(confidence) ** 2
     # Exact-p closed form: width(n) = z / sqrt(n + z^2)  =>  n >= z^2/d^2 - z^2.
@@ -88,32 +86,35 @@ class TournamentWorkloadPlan:
     with the reference's plan files) — do not rename.
     """
 
-    root_seed: int
-    k: int
-    strategy_count: int
-    confidence: float
-    resolution_delta: float
-    required_shuffles_unrounded: int
-    required_shuffles: int
-    batch_count: int
-    shuffles_per_batch: int
-    batch_construction: str
-    games_per_shuffle: int
-    required_games: int
-    achieved_resolution: float
-    shuffle_cap: int | None
-    cap_exceeded: bool
-    achieved_resolution_at_cap: float | None
+    root_seed: int  # tournament root RNG seed this cell belongs to
+    k: int  # players per table
+    strategy_count: int  # grid size being screened
+    confidence: float  # Wilson confidence level of the precision target
+    resolution_delta: float  # worst-case full-interval width target
+    required_shuffles_unrounded: int  # exact minimum before batch rounding
+    required_shuffles: int  # after rounding up to whole batches
+    batch_count: int  # recovery/checkpoint unit count
+    shuffles_per_batch: int  # equal contiguous batch size
+    batch_construction: str  # always "equal_contiguous"
+    games_per_shuffle: int  # strategy_count // k tables per shuffle
+    required_games: int  # total games the plan schedules
+    achieved_resolution: float  # width actually reached at required_shuffles
+    shuffle_cap: int | None  # configured scheduling cap, if any
+    cap_exceeded: bool  # plan blocked before any compute
+    achieved_resolution_at_cap: float | None  # best width the cap permits
     projected_games_per_second: float | None = None
     projected_runtime_seconds: float | None = None
     plan_version: int = WORKLOAD_PLAN_VERSION
 
     @property
     def status(self) -> str:
-        return "blocked_by_cap" if self.cap_exceeded else "not_started"
+        if self.cap_exceeded:
+            return "blocked_by_cap"
+        return "not_started"
 
     def with_games_per_second(self, games_per_second: float) -> "TournamentWorkloadPlan":
-        if not math.isfinite(games_per_second) or games_per_second <= 0.0:
+        bad = games_per_second <= 0.0 or not math.isfinite(games_per_second)
+        if bad:
             raise ValueError(f"games_per_second must be a finite positive rate, got {games_per_second!r}")
         rate = float(games_per_second)
         return replace(
@@ -123,7 +124,10 @@ class TournamentWorkloadPlan:
         )
 
     def to_dict(self) -> dict[str, object]:
-        return {**asdict(self), "status": self.status, "cap_config_key": CAP_CONFIG_KEY}
+        out: dict[str, object] = asdict(self)
+        out["status"] = self.status
+        out["cap_config_key"] = CAP_CONFIG_KEY
+        return out
 
 
 class WorkloadCapExceeded(RuntimeError):
@@ -140,14 +144,9 @@ class WorkloadCapExceeded(RuntimeError):
 
 def plan_tournament_workload(
     *,
-    root_seed: int,
-    k: int,
-    strategy_count: int,
-    resolution_delta: float,
-    confidence: float = 0.95,
-    batch_count: int = 100,
-    min_shuffles_per_batch: int = 30,
-    shuffle_cap: int | None = None,
+    root_seed: int, k: int, strategy_count: int, resolution_delta: float,
+    confidence: float = 0.95, batch_count: int = 100,
+    min_shuffles_per_batch: int = 30, shuffle_cap: int | None = None,
     projected_games_per_second: float | None = None,
 ) -> TournamentWorkloadPlan:
     """Resolve precision, batching, game count, cap state for one cell."""
@@ -165,22 +164,16 @@ def plan_tournament_workload(
     total_shuffles = batch_count * per_batch
     capped = shuffle_cap is not None and total_shuffles > shuffle_cap
 
+    tables = strategy_count // k
     plan = TournamentWorkloadPlan(
-        root_seed=int(root_seed),
-        k=k,
-        strategy_count=strategy_count,
-        confidence=float(confidence),
-        resolution_delta=float(resolution_delta),
-        required_shuffles_unrounded=unrounded,
-        required_shuffles=total_shuffles,
-        batch_count=batch_count,
-        shuffles_per_batch=per_batch,
+        root_seed=int(root_seed), k=k, strategy_count=strategy_count,
+        confidence=float(confidence), resolution_delta=float(resolution_delta),
+        required_shuffles_unrounded=unrounded, required_shuffles=total_shuffles,
+        batch_count=batch_count, shuffles_per_batch=per_batch,
         batch_construction="equal_contiguous",
-        games_per_shuffle=strategy_count // k,
-        required_games=total_shuffles * (strategy_count // k),
+        games_per_shuffle=tables, required_games=total_shuffles * tables,
         achieved_resolution=worst_case_wilson_width(total_shuffles, confidence=confidence),
-        shuffle_cap=shuffle_cap,
-        cap_exceeded=capped,
+        shuffle_cap=shuffle_cap, cap_exceeded=capped,
         achieved_resolution_at_cap=(
             worst_case_wilson_width(shuffle_cap, confidence=confidence) if capped else None
         ),
