@@ -90,26 +90,18 @@ def estimate_one_k(
 
     out = pd.DataFrame(
         {
-            "root_seed": int(frame["root_seed"].iloc[0]),
-            "k": k,
-            "strategy": wins.index.astype(int),
-            "chance_baseline": chance,
-            "raw_wins": wins.to_numpy(),
-            "raw_exposures": exposures.to_numpy(),
+            "root_seed": int(frame["root_seed"].iloc[0]), "k": k,
+            "strategy": wins.index.astype(int), "chance_baseline": chance,
+            "raw_wins": wins.to_numpy(), "raw_exposures": exposures.to_numpy(),
             "raw_attempted_exposures": exposures.to_numpy(),
             "raw_completed_exposures": completed.to_numpy(),
             "raw_safety_limit_exposures": safety.to_numpy(),
-            "raw_losses": losses.to_numpy(),
-            "raw_batches": batches.to_numpy(),
-            "win_rate_per_attempt": rate.to_numpy(),
-            "win_rate": rate.to_numpy(),
-            "win_rate_given_completion": (
-                wins / completed.where(completed > 0)
-            ).to_numpy(),
+            "raw_losses": losses.to_numpy(), "raw_batches": batches.to_numpy(),
+            "win_rate_per_attempt": rate.to_numpy(), "win_rate": rate.to_numpy(),
+            "win_rate_given_completion": (wins / completed.where(completed > 0)).to_numpy(),
             "safety_limit_exposure_rate": (safety / exposures).to_numpy(),
             "chance_delta": (rate - chance).to_numpy(),
-            "wilson_interval_low": wilson[:, 0],
-            "wilson_interval_high": wilson[:, 1],
+            "wilson_interval_low": wilson[:, 0], "wilson_interval_high": wilson[:, 1],
             "wilson_interval_width": width,
             "screening_resolution_delta": resolution_delta,
             "practical_delta_by_k": practical_delta,
@@ -151,38 +143,30 @@ def across_k_estimates(
     """Complete-support equal-k frame + delta vectors (reference ``:200``)."""
     indexed = {k: f.set_index("strategy") for k, f in by_k.items()}
     all_strategies = sorted(set().union(*(set(f.index) for f in indexed.values())))
-    root_seed = int(next(iter(by_k.values()))["root_seed"].iloc[0])
+    root_seed = int(next(iter(by_k.values()))["root_seed"].iat[0])
     count_columns = (
-        "raw_wins",
-        "raw_attempted_exposures",
-        "raw_completed_exposures",
-        "raw_safety_limit_exposures",
-        "raw_losses",
+        "raw_wins", "raw_attempted_exposures", "raw_completed_exposures",
+        "raw_safety_limit_exposures", "raw_losses",
     )
     rows = []
-    complete_strategies: list[int] = []
-    complete_vectors: list[list[float]] = []
-    for strategy in all_strategies:
+    full_support: list[int] = []
+    delta_rows: list[list[float]] = []
+    for strategy in all_strategies:  # deterministic ascending order
         support = [k for k in required_k if strategy in indexed[k].index]
-        complete = support == required_k
+        complete = list(support) == list(required_k)
         row: dict = {
-            "root_seed": root_seed,
-            "strategy": int(strategy),
-            "required_k_count": len(required_k),
-            "support_k_count": len(support),
+            "root_seed": root_seed, "strategy": int(strategy),
+            "required_k_count": len(required_k), "support_k_count": len(support),
             "complete_support": complete,
             **dict.fromkeys(count_columns),
             "safety_limit_exposure_rate": None,
             "practical_delta_across_k": practical_delta,
-            "equal_k_score": None,
-            "equal_k_mcse": None,
-            "equal_k_interval_low": None,
-            "equal_k_interval_high": None,
-            "minimum_chance_delta": None,
-            "worst_k": None,
-            "pareto_member": False,
-            "maximin_value": None,
-            "maximin_leader": False,
+            **dict.fromkeys((
+                "equal_k_score", "equal_k_mcse",
+                "equal_k_interval_low", "equal_k_interval_high",
+                "minimum_chance_delta", "worst_k",
+            )),
+            "pareto_member": False, "maximin_value": None, "maximin_leader": False,
         }
         if complete:
             deltas = np.array(
@@ -191,65 +175,55 @@ def across_k_estimates(
             variances = np.array(
                 [float(indexed[k].loc[strategy, "batch_mcse"]) ** 2 for k in required_k]
             )
-            score = float(deltas.mean())
+            score = float(np.mean(deltas))
             mcse = float(sqrt(np.sum(variances) / len(required_k) ** 2))
             critical = float(norm.ppf(1 - ALPHA / 2))
-            worst_index = int(np.argmin(deltas))
+            argmin_k = int(np.argmin(deltas))
+            for col in count_columns:
+                row[col] = int(sum(indexed[k].loc[strategy, col] for k in required_k))
             row.update(
-                {
-                    **{
-                        col: int(
-                            sum(indexed[k].loc[strategy, col] for k in required_k)
-                        )
-                        for col in count_columns
-                    },
-                    "equal_k_score": score,
-                    "equal_k_mcse": mcse,
-                    "equal_k_interval_low": score - critical * mcse,
-                    "equal_k_interval_high": score + critical * mcse,
-                    "minimum_chance_delta": float(deltas[worst_index]),
-                    "worst_k": required_k[worst_index],
-                    "maximin_value": float(deltas[worst_index]),
-                }
+                equal_k_score=score, equal_k_mcse=mcse,
+                equal_k_interval_low=score - critical * mcse,
+                equal_k_interval_high=score + critical * mcse,
+                minimum_chance_delta=float(deltas[argmin_k]),
+                worst_k=required_k[argmin_k],
+                maximin_value=float(deltas[argmin_k]),
             )
             row["safety_limit_exposure_rate"] = (
                 row["raw_safety_limit_exposures"] / row["raw_attempted_exposures"]
             )
-            complete_strategies.append(int(strategy))
-            complete_vectors.append(deltas.tolist())
+            full_support.append(int(strategy))
+            delta_rows.append(deltas.tolist())
         rows.append(row)
     output = pd.DataFrame(rows)
-    strategies_array = np.asarray(complete_strategies, dtype=np.int64)
-    vectors = np.asarray(complete_vectors, dtype=float)
-    if len(complete_strategies):
-        pareto = pareto_membership(vectors, strategies_array)
-        output.loc[output["strategy"].isin(strategies_array[pareto]), "pareto_member"] = True
+    full_support_ids = np.asarray(full_support, dtype=np.int64)
+    vectors = np.asarray(delta_rows, dtype=float)
+    if full_support:
+        pareto = pareto_membership(vectors, full_support_ids)
+        output.loc[output["strategy"].isin(full_support_ids[pareto]), "pareto_member"] = True
         minima = vectors.min(axis=1)
-        tied = strategies_array[np.isclose(minima, float(minima.max()), rtol=0.0, atol=1e-15)]
+        tied = full_support_ids[np.isclose(minima, float(minima.max()), rtol=0.0, atol=1e-15)]
         output.loc[output["strategy"] == int(tied.min()), "maximin_leader"] = True
-    return output, strategies_array, vectors
+    return output, full_support_ids, vectors
 
 
 def _batch_arrays(
     frames: dict[int, pd.DataFrame], strategies: np.ndarray
 ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
-    arrays = {}
     cols = strategies.tolist()
+
+    def grid(frame: pd.DataFrame, value_col: str, index=None) -> pd.DataFrame:
+        wide = frame.pivot(
+            index="deterministic_batch_id", columns="strategy", values=value_col
+        )
+        if index is not None:
+            wide = wide.reindex(index=index)
+        return wide.reindex(columns=cols).fillna(0)
+
+    arrays = {}
     for k, frame in frames.items():
-        wins = (
-            frame.pivot(index="deterministic_batch_id", columns="strategy", values="raw_wins")
-            .reindex(columns=cols)
-            .fillna(0)
-        )
-        exposures = (
-            frame.pivot(
-                index="deterministic_batch_id",
-                columns="strategy",
-                values="raw_player_game_exposures",
-            )
-            .reindex(index=wins.index, columns=cols)
-            .fillna(0)
-        )
+        wins = grid(frame, "raw_wins")
+        exposures = grid(frame, "raw_player_game_exposures", index=wins.index)
         arrays[k] = (wins.to_numpy(dtype=float), exposures.to_numpy(dtype=float))
     return arrays
 
@@ -262,8 +236,8 @@ def joint_batch_resampling(
     required_k: list[int],
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Namespace-400 joint batch bootstrap (reference ``:336``)."""
-    replicates = cfg.screening.bootstrap_replicates
-    delta = cfg.screening.delta_across_k
+    n_reps = cfg.screening.bootstrap_replicates
+    short_delta = cfg.screening.delta_across_k
     arrays = _batch_arrays(frames, strategies)
     s_count = len(strategies)
     top_n = min(cfg.screening.candidate_contribution_size, s_count)
@@ -278,20 +252,20 @@ def joint_batch_resampling(
     control_idx = [int(np.flatnonzero(strategies == c)[0]) for c in controls]
     contrast_sum = np.zeros((len(controls), s_count))
     contrast_sq = np.zeros((len(controls), s_count))
-    root_seed = int(across["root_seed"].iloc[0])
+    root_seed = int(across["root_seed"].iat[0])
 
-    for replicate in range(replicates):
+    for rep in range(n_reps):
         scores = np.zeros(s_count)
         for k in required_k:
-            wins, exposures = arrays[k]
-            b = wins.shape[0]
+            wins_grid, expo_grid = arrays[k]
+            b = wins_grid.shape[0]
             rng = coordinate_numpy_rng(
                 RandomPurpose.BOOTSTRAP, root_seed=root_seed, k=k,
-                replicate_index=replicate,
+                replicate_index=rep,
             )
             selected = rng.integers(0, b, size=b)
-            tw = wins[selected].sum(axis=0)
-            te = exposures[selected].sum(axis=0)
+            tw = wins_grid[selected].sum(axis=0)
+            te = expo_grid[selected].sum(axis=0)
             if np.any(te <= 0):
                 raise ValueError("joint resampling produced zero complete-support exposure")
             scores += tw / te - 1.0 / k
@@ -301,26 +275,23 @@ def joint_batch_resampling(
         ranks[order] = np.arange(1, s_count + 1)
         rank_sum += ranks
         rank_sq += ranks * ranks
-        top_counts[order[:top_n]] += 1
-        shortlist_counts += scores >= scores.max() - delta
+        np.add.at(top_counts, order[:top_n], 1)
+        shortlist_counts += scores >= scores.max() - short_delta
         for pos, ci in enumerate(control_idx):
             contrasts = scores - scores[ci]
             contrast_sum[pos] += contrasts
             contrast_sq[pos] += contrasts * contrasts
 
-    div = float(replicates)
+    div = float(n_reps)
     rank_mean = rank_sum / div
     rank_var = np.maximum(rank_sq / div - rank_mean**2, 0.0)
     bootstrap = pd.DataFrame(
         {
-            "root_seed": root_seed,
-            "strategy": strategies,
-            "bootstrap_replicates": replicates,
-            "bootstrap_rank_mean": rank_mean,
-            "bootstrap_rank_sd": np.sqrt(rank_var),
-            "top_n_size": top_n,
+            "root_seed": root_seed, "strategy": strategies,
+            "bootstrap_replicates": n_reps, "bootstrap_rank_mean": rank_mean,
+            "bootstrap_rank_sd": np.sqrt(rank_var), "top_n_size": top_n,
             "top_n_inclusion_probability": top_counts / div,
-            "shortlist_delta": delta,
+            "shortlist_delta": short_delta,
             "shortlist_inclusion_probability": shortlist_counts / div,
         }
     )
@@ -333,18 +304,14 @@ def joint_batch_resampling(
         means = contrast_sum[pos] / div
         variances = np.maximum(contrast_sq[pos] / div - means**2, 0.0)
         for idx, strategy in enumerate(strategies):
-            contrast_rows.append(
-                {
-                    "root_seed": root_seed,
-                    "strategy": int(strategy),
-                    "control_strategy": int(control),
-                    "observed_equal_k_contrast": observed[int(strategy)]
-                    - observed[int(control)],
-                    "bootstrap_contrast_mean": float(means[idx]),
-                    "bootstrap_contrast_sd": float(sqrt(variances[idx])),
-                    "bootstrap_replicates": replicates,
-                }
-            )
+            contrast_rows.append({
+                "root_seed": root_seed, "strategy": int(strategy),
+                "control_strategy": int(control),
+                "observed_equal_k_contrast": observed[int(strategy)] - observed[int(control)],
+                "bootstrap_contrast_mean": float(means[idx]),
+                "bootstrap_contrast_sd": float(sqrt(variances[idx])),
+                "bootstrap_replicates": n_reps,
+            })
     contrast_cols = [
         "root_seed", "strategy", "control_strategy", "observed_equal_k_contrast",
         "bootstrap_contrast_mean", "bootstrap_contrast_sd", "bootstrap_replicates",

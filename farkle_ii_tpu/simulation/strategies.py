@@ -31,20 +31,11 @@ from typing import Any, Iterator, Mapping, Sequence
 import numpy as np
 
 __all__ = [
-    "FavorDiceOrScore",
-    "ThresholdStrategy",
-    "StrategyGridOptions",
-    "StrategyEncoder",
-    "StrategyParams",
-    "STRATEGY_TUPLE_FIELDS",
-    "DEFAULT_STRATEGY_GRID",
-    "STOP_AT_THRESHOLDS",
-    "build_strategy_encoder",
-    "build_strategy_grid",
-    "iter_strategy_combos",
-    "pack_strategy_params",
-    "parse_strategy",
-    "random_threshold_strategy",
+    "FavorDiceOrScore", "ThresholdStrategy", "StrategyGridOptions",
+    "StrategyEncoder", "StrategyParams",
+    "STRATEGY_TUPLE_FIELDS", "DEFAULT_STRATEGY_GRID", "STOP_AT_THRESHOLDS",
+    "build_strategy_encoder", "build_strategy_grid", "iter_strategy_combos",
+    "pack_strategy_params", "parse_strategy", "random_threshold_strategy",
     "strategy_tuple",
 ]
 
@@ -60,27 +51,19 @@ class FavorDiceOrScore(Enum):
 
 
 STRATEGY_TUPLE_FIELDS: tuple[str, ...] = (
-    "score_threshold",
-    "dice_threshold",
-    "smart_five",
-    "smart_one",
-    "consider_score",
-    "consider_dice",
-    "require_both",
-    "auto_hot_dice",
-    "run_up_score",
-    "favor_dice_or_score",
+    "score_threshold", "dice_threshold",
+    "smart_five", "smart_one",
+    "consider_score", "consider_dice", "require_both",
+    "auto_hot_dice", "run_up_score", "favor_dice_or_score",
 )
 
+_BOTH = (True, False)
 DEFAULT_STRATEGY_GRID: dict[str, tuple[Any, ...]] = {
-    "score_thresholds": tuple(range(200, 1400, 50)),
-    "dice_thresholds": tuple(range(0, 5)),
-    "smart_five_opts": (True, False),
-    "smart_one_opts": (True, False),
-    "consider_score_opts": (True, False),
-    "consider_dice_opts": (True, False),
-    "auto_hot_dice_opts": (False, True),
-    "run_up_score_opts": (True, False),
+    "score_thresholds": tuple(range(200, 1400, 50)),  # 24 values, 50-point steps
+    "dice_thresholds": tuple(range(5)),
+    "smart_five_opts": _BOTH, "smart_one_opts": _BOTH,
+    "consider_score_opts": _BOTH, "consider_dice_opts": _BOTH,
+    "auto_hot_dice_opts": (False, True), "run_up_score_opts": _BOTH,
 }
 
 STOP_AT_THRESHOLDS: tuple[int, ...] = (350, 400, 450, 500)
@@ -104,69 +87,70 @@ class ThresholdStrategy:
       ``require_both=False`` means *continue only while both are unmet*.
     """
 
-    score_threshold: int = 300
-    dice_threshold: int = 2
-    smart_five: bool = False
-    smart_one: bool = False
-    consider_score: bool = True
-    consider_dice: bool = True
-    require_both: bool = False
-    auto_hot_dice: bool = False
-    run_up_score: bool = False
+    score_threshold: int = 300  # bank once the turn reaches this (if considered)
+    dice_threshold: int = 2  # keep rolling while more dice than this remain
+    smart_five: bool = False  # allow discarding lone fives to keep dice
+    smart_one: bool = False  # allow discarding lone ones (requires smart_five)
+    consider_score: bool = True  # the score threshold participates in decide()
+    consider_dice: bool = True  # the dice threshold participates in decide()
+    require_both: bool = False  # AND vs OR combination of the two thresholds
+    auto_hot_dice: bool = False  # always reroll a fresh set of six
+    run_up_score: bool = False  # keep rolling during the final round once ahead
     favor_dice_or_score: FavorDiceOrScore = FavorDiceOrScore.SCORE
     strategy_id: int | None = field(default=None, compare=False)
 
     def __post_init__(self) -> None:
         if self.smart_one and not self.smart_five:
-            raise ValueError("ThresholdStrategy: smart_one=True requires smart_five=True")
-        if self.require_both and not (self.consider_score and self.consider_dice):
+            raise ValueError("ThresholdStrategy: smart_one needs smart_five enabled")
+        both_considered = self.consider_score and self.consider_dice
+        if self.require_both and not both_considered:
             raise ValueError(
-                "ThresholdStrategy: require_both=True requires consider_score and consider_dice"
+                "ThresholdStrategy: require_both needs both considerations enabled"
             )
 
     def decide(
         self,
         *,
-        turn_score: int,
-        dice_left: int,
-        has_scored: bool,
-        score_needed: int = 0,
-        final_round: bool = False,
-        score_to_beat: int = 0,
-        running_total: int = 0,
+        turn_score: int, dice_left: int, has_scored: bool,
+        score_needed: int = 0, final_round: bool = False,
+        score_to_beat: int = 0, running_total: int = 0,
     ) -> bool:
         """Return True to keep rolling, False to bank."""
         del score_needed  # reserved for richer strategies
-        if not has_scored and turn_score < 500:
+        entry_gate_unmet = not has_scored and turn_score < 500
+        if entry_gate_unmet:
             return True  # must cross the 500-point entry gate
         if final_round:
-            if running_total <= score_to_beat:
+            behind = running_total <= score_to_beat
+            if behind:
                 return True  # must beat the leader; ties don't win
             if not self.run_up_score:
                 return False
-        want_score = self.consider_score and turn_score < self.score_threshold
-        want_dice = self.consider_dice and dice_left > self.dice_threshold
-        if self.consider_score and self.consider_dice:
-            return (want_score or want_dice) if self.require_both else (want_score and want_dice)
-        if self.consider_score:
-            return want_score
-        if self.consider_dice:
-            return want_dice
-        return False
+        score_unmet = turn_score < self.score_threshold
+        dice_unmet = dice_left > self.dice_threshold
+        match (self.consider_score, self.consider_dice):
+            case (True, True):
+                if self.require_both:
+                    return score_unmet or dice_unmet  # bank only once BOTH are met
+                return score_unmet and dice_unmet  # bank as soon as either is met
+            case (True, False):
+                return score_unmet
+            case (False, True):
+                return dice_unmet
+            case _:
+                return False
 
     def __str__(self) -> str:
-        cs = "S" if self.consider_score else "-"
-        cd = "D" if self.consider_dice else "-"
-        sf = "F" if self.smart_five else "-"
-        so = "O" if self.smart_one else "-"
-        rb = "AND" if self.require_both else "OR"
-        hd = "H" if self.auto_hot_dice else "-"
-        rs = "R" if self.run_up_score else "-"
-        fs = "FS" if self.favor_dice_or_score is FavorDiceOrScore.SCORE else "FD"
-        return (
-            f"Strat({self.score_threshold},{self.dice_threshold})"
-            f"[{cs}{cd}][{sf}{so}{fs}][{rb}][{hd}{rs}]"
-        )
+        def flag(letter: str, on: bool) -> str:
+            return letter if on else "-"
+
+        considers = flag("S", self.consider_score) + flag("D", self.consider_dice)
+        smarts = flag("F", self.smart_five) + flag("O", self.smart_one)
+        smarts += "FS" if self.favor_dice_or_score is FavorDiceOrScore.SCORE else "FD"
+        combine = "AND" if self.require_both else "OR"
+        extras = flag("H", self.auto_hot_dice) + flag("R", self.run_up_score)
+        head = f"Strat({self.score_threshold},{self.dice_threshold})"
+        return f"{head}[{considers}][{smarts}][{combine}][{extras}]"
 
 
 def strategy_tuple(strategy: ThresholdStrategy) -> StrategyTuple:
@@ -180,29 +164,24 @@ def strategy_from_tuple(combo: StrategyTuple, strategy_id: int | None = None) ->
     return ThresholdStrategy(**attrs, strategy_id=strategy_id)
 
 
+_FAVOR_SCORE_ONLY = (FavorDiceOrScore.SCORE,)
+_FAVOR_DICE_ONLY = (FavorDiceOrScore.DICE,)
+
+
 def _favor_options(sf: bool, cs: bool, cd: bool) -> tuple[FavorDiceOrScore, ...]:
     """Valid favor choices for a flag combination (grid pruning rule)."""
     if cs and cd:
-        return (FavorDiceOrScore.SCORE, FavorDiceOrScore.DICE) if sf else (FavorDiceOrScore.SCORE,)
-    if cs:
-        return (FavorDiceOrScore.SCORE,)
-    if cd:
-        return (FavorDiceOrScore.DICE,)
-    return (FavorDiceOrScore.SCORE,)
+        return _FAVOR_SCORE_ONLY + _FAVOR_DICE_ONLY if sf else _FAVOR_SCORE_ONLY
+    return _FAVOR_DICE_ONLY if cd and not cs else _FAVOR_SCORE_ONLY
 
 
 def iter_strategy_combos(
     *,
-    score_thresholds: Sequence[int],
-    dice_thresholds: Sequence[int],
-    smart_five_opts: Sequence[bool],
-    smart_one_opts: Sequence[bool],
-    consider_score_opts: Sequence[bool],
-    consider_dice_opts: Sequence[bool],
-    auto_hot_dice_opts: Sequence[bool],
-    run_up_score_opts: Sequence[bool],
-    inactive_score_threshold: int,
-    inactive_dice_threshold: int,
+    score_thresholds: Sequence[int], dice_thresholds: Sequence[int],
+    smart_five_opts: Sequence[bool], smart_one_opts: Sequence[bool],
+    consider_score_opts: Sequence[bool], consider_dice_opts: Sequence[bool],
+    auto_hot_dice_opts: Sequence[bool], run_up_score_opts: Sequence[bool],
+    inactive_score_threshold: int, inactive_dice_threshold: int,
     allowed_smart_pairs: set[tuple[bool, bool]] | None = None,
 ) -> Iterator[StrategyTuple]:
     """Enumerate strategy tuples with constraint pruning, deterministic order.
@@ -255,17 +234,12 @@ def build_stop_at_strategy(
     (reference strategies.py:454-481).
     """
     if threshold not in STOP_AT_THRESHOLDS:
-        raise ValueError(f"Unregistered stop-at threshold: {threshold}")
+        raise ValueError(f"stop-at threshold {threshold} is not registered")
     return ThresholdStrategy(
-        score_threshold=threshold,
-        dice_threshold=inactive_dice_threshold,
-        smart_five=heuristic,
-        smart_one=heuristic,
-        consider_score=True,
-        consider_dice=False,
-        require_both=False,
-        auto_hot_dice=heuristic,
-        run_up_score=False,
+        score_threshold=threshold, dice_threshold=inactive_dice_threshold,
+        smart_five=heuristic, smart_one=heuristic,
+        consider_score=True, consider_dice=False, require_both=False,
+        auto_hot_dice=heuristic, run_up_score=False,
         favor_dice_or_score=FavorDiceOrScore.SCORE,
     )
 
@@ -280,15 +254,15 @@ STOP_AT_REGISTRY = {
 class StrategyGridOptions:
     """Normalized, immutable grid option bundle."""
 
-    score_thresholds: tuple[int, ...]
-    dice_thresholds: tuple[int, ...]
-    smart_five_opts: tuple[bool, ...]
-    smart_one_opts: tuple[bool, ...]
-    consider_score_opts: tuple[bool, ...]
-    consider_dice_opts: tuple[bool, ...]
-    auto_hot_dice_opts: tuple[bool, ...]
-    run_up_score_opts: tuple[bool, ...]
-    include_stop_at: bool = False
+    score_thresholds: tuple[int, ...]  # ascending; min-1 is the inactive sentinel
+    dice_thresholds: tuple[int, ...]  # ascending; min-1 is the inactive sentinel
+    smart_five_opts: tuple[bool, ...]  # pruned by the smart_one invariant
+    smart_one_opts: tuple[bool, ...]  # pruned by the smart_one invariant
+    consider_score_opts: tuple[bool, ...]  # (True, False) in the default grid
+    consider_dice_opts: tuple[bool, ...]  # (True, False) in the default grid
+    auto_hot_dice_opts: tuple[bool, ...]  # (False, True) in the default grid
+    run_up_score_opts: tuple[bool, ...]  # (True, False) in the default grid
+    include_stop_at: bool = False  # append the named stop-at strategies
     include_stop_at_heuristic: bool = False
 
     @property
@@ -311,8 +285,7 @@ class StrategyGridOptions:
         consider_dice_opts: Sequence[bool] | None = None,
         auto_hot_dice_opts: Sequence[bool] | None = None,
         run_up_score_opts: Sequence[bool] | None = None,
-        include_stop_at: bool = False,
-        include_stop_at_heuristic: bool = False,
+        include_stop_at: bool = False, include_stop_at_heuristic: bool = False,
     ) -> "StrategyGridOptions":
         def norm(values: Sequence[Any] | None, default_key: str) -> tuple[Any, ...]:
             if values is None:
@@ -326,15 +299,16 @@ class StrategyGridOptions:
                     return values_t
             return values_t
 
+        supplied = {
+            "score_thresholds": score_thresholds, "dice_thresholds": dice_thresholds,
+            "smart_five_opts": smart_five_opts, "smart_one_opts": smart_one_opts,
+            "consider_score_opts": consider_score_opts,
+            "consider_dice_opts": consider_dice_opts,
+            "auto_hot_dice_opts": auto_hot_dice_opts,
+            "run_up_score_opts": run_up_score_opts,
+        }
         return cls(
-            score_thresholds=norm(score_thresholds, "score_thresholds"),
-            dice_thresholds=norm(dice_thresholds, "dice_thresholds"),
-            smart_five_opts=norm(smart_five_opts, "smart_five_opts"),
-            smart_one_opts=norm(smart_one_opts, "smart_one_opts"),
-            consider_score_opts=norm(consider_score_opts, "consider_score_opts"),
-            consider_dice_opts=norm(consider_dice_opts, "consider_dice_opts"),
-            auto_hot_dice_opts=norm(auto_hot_dice_opts, "auto_hot_dice_opts"),
-            run_up_score_opts=norm(run_up_score_opts, "run_up_score_opts"),
+            **{name: norm(value, name) for name, value in supplied.items()},
             include_stop_at=include_stop_at,
             include_stop_at_heuristic=include_stop_at_heuristic,
         )
@@ -366,16 +340,18 @@ class StrategyEncoder:
         return [strategy_from_tuple(c, strategy_id=i) for i, c in enumerate(self.tuples)]
 
 
+_ITER_AXIS_FIELDS = (
+    "score_thresholds", "dice_thresholds",
+    "smart_five_opts", "smart_one_opts",
+    "consider_score_opts", "consider_dice_opts",
+    "auto_hot_dice_opts", "run_up_score_opts",
+)
+
+
 def _iter_encoder_combos(options: StrategyGridOptions):
+    axes = {name: getattr(options, name) for name in _ITER_AXIS_FIELDS}
     yield from iter_strategy_combos(
-        score_thresholds=options.score_thresholds,
-        dice_thresholds=options.dice_thresholds,
-        smart_five_opts=options.smart_five_opts,
-        smart_one_opts=options.smart_one_opts,
-        consider_score_opts=options.consider_score_opts,
-        consider_dice_opts=options.consider_dice_opts,
-        auto_hot_dice_opts=options.auto_hot_dice_opts,
-        run_up_score_opts=options.run_up_score_opts,
+        **axes,
         inactive_score_threshold=options.inactive_score_threshold,
         inactive_dice_threshold=options.inactive_dice_threshold,
     )
@@ -399,13 +375,13 @@ def _iter_encoder_combos(options: StrategyGridOptions):
 
 @lru_cache(maxsize=None)
 def _build_encoder_cached(options: StrategyGridOptions) -> StrategyEncoder:
-    tuples: list[StrategyTuple] = []
+    # dict insertion order dedups while preserving first-seen enumeration order
     tuple_to_id: dict[StrategyTuple, int] = {}
     for combo in _iter_encoder_combos(options):
-        if combo not in tuple_to_id:
-            tuple_to_id[combo] = len(tuples)
-            tuples.append(combo)
-    return StrategyEncoder(options=options, tuples=tuple(tuples), tuple_to_id=tuple_to_id)
+        tuple_to_id.setdefault(combo, len(tuple_to_id))
+    return StrategyEncoder(
+        options=options, tuples=tuple(tuple_to_id), tuple_to_id=tuple_to_id
+    )
 
 
 def build_strategy_encoder(**kwargs: Any) -> StrategyEncoder:
@@ -514,40 +490,38 @@ def parse_strategy(s: str) -> ThresholdStrategy:
     m = _STRAT_RE.match(s)
     if not m:
         raise ValueError(f"Cannot parse strategy string: {s!r}")
+    g = m.group
+    flag_on = {"sf": "F", "so": "O", "cs": "S", "cd": "D", "hd": "H", "rs": "R"}
+    on = {name: g(name) == mark for name, mark in flag_on.items()}
     return ThresholdStrategy(
-        score_threshold=int(m.group("score")),
-        dice_threshold=int(m.group("dice")),
-        smart_five=m.group("sf") == "F",
-        smart_one=m.group("so") == "O",
-        consider_score=m.group("cs") == "S",
-        consider_dice=m.group("cd") == "D",
-        require_both=m.group("rb") == "AND",
-        auto_hot_dice=m.group("hd") == "H",
-        run_up_score=m.group("rs") == "R",
+        score_threshold=int(g("score")), dice_threshold=int(g("dice")),
+        smart_five=on["sf"], smart_one=on["so"],
+        consider_score=on["cs"], consider_dice=on["cd"],
+        require_both=g("rb") == "AND",
+        auto_hot_dice=on["hd"], run_up_score=on["rs"],
         favor_dice_or_score=(
-            FavorDiceOrScore.SCORE if m.group("fs") == "FS" else FavorDiceOrScore.DICE
+            FavorDiceOrScore.SCORE if g("fs") == "FS" else FavorDiceOrScore.DICE
         ),
     )
 
 
 def random_threshold_strategy(rng: np.random.Generator) -> ThresholdStrategy:
     """Sample a random strategy consistent with the invariants (for time/watch)."""
-    sf = bool(rng.integers(0, 2))
-    so = bool(rng.integers(0, 2)) if sf else False
-    cs = bool(rng.integers(0, 2))
-    cd = bool(rng.integers(0, 2))
-    rb = bool(rng.integers(0, 2)) if (cs and cd) else False
+    def coin() -> bool:
+        return bool(rng.integers(0, 2))
+
+    sf = coin()
+    so = sf and coin()  # smart_one only when smart_five is on
+    cs, cd = coin(), coin()
+    rb = cs and cd and coin()  # require_both only with both considerations
     if cs == cd:
-        fv = FavorDiceOrScore.SCORE if int(rng.integers(0, 2)) == 0 else FavorDiceOrScore.DICE
+        fv = FavorDiceOrScore.SCORE if coin() else FavorDiceOrScore.DICE
     else:
         fv = FavorDiceOrScore.SCORE if cs else FavorDiceOrScore.DICE
     return ThresholdStrategy(
-        score_threshold=int(rng.integers(1, 20)) * 50,
+        score_threshold=50 * int(rng.integers(1, 20)),
         dice_threshold=int(rng.integers(0, 5)),
-        smart_five=sf,
-        smart_one=so,
-        consider_score=cs,
-        consider_dice=cd,
-        require_both=rb,
+        smart_five=sf, smart_one=so,
+        consider_score=cs, consider_dice=cd, require_both=rb,
         favor_dice_or_score=fv,
     )
