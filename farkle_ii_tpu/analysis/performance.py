@@ -328,128 +328,154 @@ def declared_k_weights(cfg: AppConfig, required_k: list[int]) -> dict[int, float
     return {int(k): float(weights[k]) for k in required_k}
 
 
-def chance_relative_log_odds(win_rate: float, k: int) -> float | None:
-    if not 0.0 < win_rate < 1.0:
-        return None
-    chance = 1.0 / k
-    return float(np.log(win_rate / (1 - win_rate)) - np.log(chance / (1 - chance)))
+# Output schema of the player-count effect diagnostics artifact (column set
+# and diagnostic_type values are contract; reference ``:472`` emits the same
+# 26 columns). Every section frame below is reindexed onto this.
+_EFFECT_COLUMNS = [
+    "diagnostic_type", "root_seed", "strategy", "k", "k_a", "k_b",
+    "k_weight", "k_weight_a", "k_weight_b", "win_rate", "chance_baseline",
+    "chance_relative_log_odds", "effect_available", "unavailable_reason",
+    "log_odds_contrast", "finite_strategy_count", "boundary_unavailable_count",
+    "log_odds_sd", "log_odds_iqr", "log_odds_top_minus_median",
+    "common_finite_strategy_count", "spearman_rank_correlation",
+    "kendall_rank_correlation", "complete_configured_k_support",
+    "declared_k_method",
+]
+
+_BOUNDARY_REASON = "boundary_win_rate_log_odds_unavailable"
+
+
+def chance_log_odds_matrix(rates: np.ndarray, k_arr: np.ndarray) -> np.ndarray:
+    """Chance-relative log odds for a (n_k, n_strategies) win-rate matrix.
+
+    Boundary rates (0 or 1, where log odds diverge) map to NaN.
+    """
+    interior = (rates > 0.0) & (rates < 1.0)
+    safe = np.where(interior, rates, 0.5)
+    chance = 1.0 / k_arr[:, None]
+    lo = np.log(safe / (1.0 - safe)) - np.log(chance / (1.0 - chance))
+    return np.where(interior, lo, np.nan)
 
 
 def player_count_effect_diagnostics(
     cfg: AppConfig, estimates: dict[int, pd.DataFrame], required_k: list[int]
 ) -> pd.DataFrame:
-    """Cross-k effect diagnostics (reference ``:472``)."""
-    complete = sorted(
+    """Cross-k effect diagnostics (semantics of reference ``:472``).
+
+    All four diagnostic sections are computed from one dense
+    ``(n_k, n_strategies)`` log-odds matrix with NaN at boundary rates —
+    column-vectorized frame construction, no per-row dict assembly.
+    """
+    support = sorted(
         set.intersection(*(set(f["strategy"].astype(int)) for f in estimates.values()))
     )
-    if not complete:
+    if not support:
         raise ValueError("player-count diagnostics require complete strategy support")
     weights = declared_k_weights(cfg, required_k)
     root_seed = int(next(iter(estimates.values()))["root_seed"].iloc[0])
-    indexed = {k: f.set_index("strategy") for k, f in estimates.items()}
-    values: dict[tuple[int, int], float | None] = {}
-    rows: list[dict] = []
+    k_arr = np.asarray(required_k, dtype=int)
+    w_arr = np.asarray([weights[k] for k in required_k], dtype=float)
+    strat = np.asarray(support, dtype=int)
+    n_s = strat.size
 
-    def base(diagnostic_type: str) -> dict:
-        return {
-            "diagnostic_type": diagnostic_type, "root_seed": root_seed,
-            "strategy": None, "k": None, "k_a": None, "k_b": None,
-            "k_weight": None, "k_weight_a": None, "k_weight_b": None,
-            "win_rate": None, "chance_baseline": None,
-            "chance_relative_log_odds": None, "effect_available": None,
-            "unavailable_reason": None, "log_odds_contrast": None,
-            "finite_strategy_count": None, "boundary_unavailable_count": None,
-            "log_odds_sd": None, "log_odds_iqr": None,
-            "log_odds_top_minus_median": None,
-            "common_finite_strategy_count": None,
-            "spearman_rank_correlation": None, "kendall_rank_correlation": None,
-            "complete_configured_k_support": True,
-            "declared_k_method": cfg.k_aggregation.method,
-        }
+    # (n_k, n_s) win-rate matrix aligned to the common support
+    rates = np.vstack(
+        [
+            estimates[k].set_index("strategy")["win_rate"]
+            .reindex(support).to_numpy(dtype=float)
+            for k in required_k
+        ]
+    )
+    lo = chance_log_odds_matrix(rates, k_arr)
+    finite = np.isfinite(lo)
 
-    for k in required_k:
-        for strategy in complete:
-            rate = float(indexed[k].loc[strategy, "win_rate"])
-            effect = chance_relative_log_odds(rate, k)
-            values[(k, strategy)] = effect
-            row = base("strategy_k_chance_relative_log_odds")
-            row.update(
+    def reason_col(available: np.ndarray):
+        return np.where(available, None, _BOUNDARY_REASON)
+
+    sections: list[pd.DataFrame] = []
+    for i, k in enumerate(required_k):
+        sections.append(
+            pd.DataFrame(
                 {
-                    "strategy": strategy, "k": k, "k_weight": weights[k],
-                    "win_rate": rate, "chance_baseline": 1.0 / k,
-                    "chance_relative_log_odds": effect,
-                    "effect_available": effect is not None,
-                    "unavailable_reason": (
-                        None if effect is not None
-                        else "boundary_win_rate_log_odds_unavailable"
+                    "diagnostic_type": "strategy_k_chance_relative_log_odds",
+                    "strategy": strat,
+                    "k": k,
+                    "k_weight": w_arr[i],
+                    "win_rate": rates[i],
+                    "chance_baseline": 1.0 / k,
+                    "chance_relative_log_odds": lo[i],
+                    "effect_available": finite[i],
+                    "unavailable_reason": reason_col(finite[i]),
+                }
+            )
+        )
+        vals = lo[i, finite[i]]
+        q75, q25 = (
+            np.percentile(vals, [75, 25]) if vals.size else (np.nan, np.nan)
+        )
+        sections.append(
+            pd.DataFrame(
+                {
+                    "diagnostic_type": ["within_k_strategy_spread"],
+                    "k": k,
+                    "k_weight": w_arr[i],
+                    "finite_strategy_count": vals.size,
+                    "boundary_unavailable_count": n_s - vals.size,
+                    "log_odds_sd": np.std(vals, ddof=1) if vals.size >= 2 else np.nan,
+                    "log_odds_iqr": q75 - q25,
+                    "log_odds_top_minus_median": (
+                        np.max(vals) - np.median(vals) if vals.size else np.nan
                     ),
                 }
             )
-            rows.append(row)
-        finite = np.asarray(
-            [values[(k, s)] for s in complete if values[(k, s)] is not None], dtype=float
         )
-        spread = base("within_k_strategy_spread")
-        spread.update(
-            {
-                "k": k, "k_weight": weights[k],
-                "finite_strategy_count": int(finite.size),
-                "boundary_unavailable_count": len(complete) - int(finite.size),
-                "log_odds_sd": float(np.std(finite, ddof=1)) if finite.size >= 2 else None,
-                "log_odds_iqr": (
-                    float(np.quantile(finite, 0.75) - np.quantile(finite, 0.25))
-                    if finite.size else None
-                ),
-                "log_odds_top_minus_median": (
-                    float(np.max(finite) - np.median(finite)) if finite.size else None
-                ),
-            }
-        )
-        rows.append(spread)
 
-    for i, k_a in enumerate(required_k):
-        for k_b in required_k[i + 1 :]:
-            common = [
-                s for s in complete
-                if values[(k_a, s)] is not None and values[(k_b, s)] is not None
-            ]
-            for s in complete:
-                left, right = values[(k_a, s)], values[(k_b, s)]
-                row = base("strategy_pairwise_k_contrast")
-                row.update(
-                    {
-                        "strategy": s, "k_a": k_a, "k_b": k_b,
-                        "k_weight_a": weights[k_a], "k_weight_b": weights[k_b],
-                        "effect_available": left is not None and right is not None,
-                        "unavailable_reason": (
-                            None if left is not None and right is not None
-                            else "boundary_win_rate_log_odds_unavailable"
-                        ),
-                        "log_odds_contrast": (
-                            float(left - right)
-                            if left is not None and right is not None else None
-                        ),
-                    }
-                )
-                rows.append(row)
-            a = np.asarray([values[(k_a, s)] for s in common], dtype=float)
-            b = np.asarray([values[(k_b, s)] for s in common], dtype=float)
-            rank_row = base("pairwise_k_rank_agreement")
-            rank_row.update(
+    for ia, ib in zip(*np.triu_indices(len(required_k), k=1)):
+        pair_ok = finite[ia] & finite[ib]
+        contrast = np.where(pair_ok, lo[ia] - lo[ib], np.nan)
+        sections.append(
+            pd.DataFrame(
                 {
-                    "k_a": k_a, "k_b": k_b,
-                    "k_weight_a": weights[k_a], "k_weight_b": weights[k_b],
-                    "common_finite_strategy_count": len(common),
-                    "spearman_rank_correlation": (
-                        float(spearmanr(a, b).statistic) if len(common) >= 2 else None
-                    ),
-                    "kendall_rank_correlation": (
-                        float(kendalltau(a, b).statistic) if len(common) >= 2 else None
-                    ),
+                    "diagnostic_type": "strategy_pairwise_k_contrast",
+                    "strategy": strat,
+                    "k_a": k_arr[ia],
+                    "k_b": k_arr[ib],
+                    "k_weight_a": w_arr[ia],
+                    "k_weight_b": w_arr[ib],
+                    "effect_available": pair_ok,
+                    "unavailable_reason": reason_col(pair_ok),
+                    "log_odds_contrast": contrast,
                 }
             )
-            rows.append(rank_row)
-    return pd.DataFrame(rows)
+        )
+        n_common = int(pair_ok.sum())
+        if n_common >= 2:
+            rho = float(spearmanr(lo[ia, pair_ok], lo[ib, pair_ok]).statistic)
+            tau = float(kendalltau(lo[ia, pair_ok], lo[ib, pair_ok]).statistic)
+        else:
+            rho = tau = np.nan
+        sections.append(
+            pd.DataFrame(
+                {
+                    "diagnostic_type": ["pairwise_k_rank_agreement"],
+                    "k_a": k_arr[ia],
+                    "k_b": k_arr[ib],
+                    "k_weight_a": w_arr[ia],
+                    "k_weight_b": w_arr[ib],
+                    "common_finite_strategy_count": n_common,
+                    "spearman_rank_correlation": rho,
+                    "kendall_rank_correlation": tau,
+                }
+            )
+        )
+
+    frame = pd.concat(
+        [s.reindex(columns=_EFFECT_COLUMNS) for s in sections], ignore_index=True
+    )
+    frame["root_seed"] = root_seed
+    frame["complete_configured_k_support"] = True
+    frame["declared_k_method"] = cfg.k_aggregation.method
+    return frame
 
 
 def _publish(
