@@ -95,11 +95,20 @@ def test_concurrent_hosts_race_artifact_plane(tmp_path):
     multi = _tiny_cfg(tmp_path, "multi")
     script = textwrap.dedent(
         """
-        import sys
+        import os, sys
         sys.path.insert(0, {repo!r})
+        # Force the CPU platform BEFORE any backend initialization: in this
+        # environment the JAX_PLATFORMS env var alone does NOT stop the axon
+        # TPU plugin from grabbing the client (tests/conftest.py:6-9), and a
+        # child that silently attaches to the single real chip races the
+        # other host on it. Same recipe as __graft_entry__.dryrun_multichip.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", jax.devices()
         from farkle_ii_tpu import config as C
         from farkle_ii_tpu.simulation import runner as R
-        R._PEER_BLOCK_TIMEOUT_S = 420.0  # fail loudly, never hang the suite
+        R._PEER_BLOCK_TIMEOUT_S = 240.0  # fail loudly, never hang the suite
         cfg = C.AppConfig()
         cfg.data_dir = {data_dir!r}
         cfg.sim.seed = 21
@@ -135,9 +144,18 @@ def test_concurrent_hosts_race_artifact_plane(tmp_path):
         )
 
     procs = [launch(0), launch(1)]
-    # generous: two fresh CPU processes each pay the full kernel compile, and
-    # the suite may share the machine with other compiles
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # each fresh CPU process pays the full kernel compile (~20-60 s); kill
+    # children on timeout so a hang can never orphan processes or eat the
+    # slow-suite budget
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=300)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
     assert "finalized: True" in outs[0]

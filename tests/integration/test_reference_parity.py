@@ -163,3 +163,44 @@ def test_engine_statistical_parity(reference_scoring):
         f"reference {ref_rate:.3f} vs ours {ours_rate:.3f}: "
         f"p={result.p_value:.4f}"
     )
+
+
+def test_retired_config_key_coverage():
+    """Our retired-key migration map covers every key the reference retires
+    (``/root/reference/src/farkle/config.py:62-119``), each with non-empty
+    migration guidance."""
+    import ast
+    from pathlib import Path
+
+    from farkle_ii_tpu.config import RETIRED_CONFIG_KEYS
+
+    src = Path(REFERENCE_SRC) / "farkle" / "config.py"
+    if not src.exists():
+        pytest.skip("reference tree not mounted")
+    # collect the reference's retired keys without importing its module:
+    # the literal dict plus the f-string comprehension over analysis.* names
+    tree = ast.parse(src.read_text())
+    ref_keys: set[str] = set()
+    for node in ast.walk(tree):
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, ast.AnnAssign) and node.value is not None:
+            targets = [node.target]
+        if targets and any(
+            isinstance(t, ast.Name) and t.id == "RETIRED_CONFIG_KEYS"
+            for t in targets
+        ) and isinstance(node.value, ast.Dict):
+            ref_keys |= {
+                ast.literal_eval(k) for k in node.value.keys if k is not None
+            }
+        if isinstance(node, ast.DictComp):
+            gen = node.generators[0]
+            if isinstance(gen.iter, ast.Tuple):
+                names = [ast.literal_eval(e) for e in gen.iter.elts]
+                if "run_interseed" in names:
+                    ref_keys |= {f"analysis.{n}" for n in names}
+    assert len(ref_keys) >= 45, ref_keys
+    missing = ref_keys - set(RETIRED_CONFIG_KEYS)
+    assert not missing, f"reference retired keys without migration guidance: {missing}"
+    assert all(RETIRED_CONFIG_KEYS.values())
