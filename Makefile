@@ -23,6 +23,8 @@ test:
 	python -m pytest tests/ -q -m "not slow"
 
 test-full:
+	FARKLE_COV_THRESHOLD=$(COV_THRESHOLD) \
+	FARKLE_COV_OUT=results/coverage_full.json \
 	python -m pytest tests/ -q
 
 fast-test:
@@ -40,5 +42,4 @@ bench:
 
 ci: contracts test
 
-ci-full: contracts
-	FARKLE_COV_THRESHOLD=$(COV_THRESHOLD) python -m pytest tests/ -q
+ci-full: contracts test-full

@@ -51,6 +51,7 @@ def main() -> None:
     # probed envelope recorded that chunk shape fault-free for k=5 (the
     # chunk and block-scan programs share the game-kernel batch geometry).
     ladder = [(8, 64), (8, 16), (4, 16)] if on_accel else [(2, 2)]
+    envelope = None
     if on_accel:
         from farkle_ii_tpu.utils.fault_envelope import load_fault_envelope
 
@@ -117,6 +118,19 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     games_per_sec = total_games / elapsed
+
+    # Secondary per-k sweep (VERDICT r3 #9): the k >= 8 falloff is the
+    # kernel's biggest weakness, so the headline JSON carries per-k rates.
+    # Only envelope-probed-OK shapes run — an unprobed shape can hard-fault
+    # libtpu and kill the process, losing even the headline number.
+    per_k: dict[str, dict] = {}
+    if on_accel and envelope is not None:
+        for kk in (2, 3, 4, 5, 6, 8, 10, 12):
+            try:
+                per_k[str(kk)] = _rate_for_k(kk, grid, params, envelope)
+            except Exception as exc:  # never lose the headline to a sweep
+                per_k[str(kk)] = {"error": str(exc)[:120]}
+
     print(
         json.dumps(
             {
@@ -133,9 +147,51 @@ def main() -> None:
                     "compact": used_shape[2],
                     "games_per_step": used_shape[0] * used_shape[1] * spec.games_per_shuffle,
                 },
+                "per_k_games_per_sec": per_k,
             }
         )
     )
+
+
+def _rate_for_k(k: int, grid, params, envelope) -> dict:
+    """Steady-state games/s for one player count at its best probed shape."""
+    from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+    shape = envelope.best_shape(k, cap=128)
+    if shape is None:
+        return {"error": "no probed-ok shape"}
+    ns, compact = shape
+    spec = T.TournamentSpec(root_seed=42, k=k, n_strategies=len(grid))
+    compiled = cached_compile(
+        lambda prm, sh: T.play_and_aggregate_block(
+            spec, prm, sh, compact=compact
+        ),
+        params, jnp.arange(ns, dtype=jnp.uint32).reshape(1, ns),
+        extra_key=f"bench-perk-k{k}-1x{ns}" + ("" if compact else "-nc"),
+    )
+    games_per_step = ns * spec.games_per_shuffle
+
+    def run(i):
+        sh = jnp.arange(ns * i, ns * (i + 1), dtype=jnp.uint32).reshape(1, ns)
+        lo, hi = compiled(params, sh)
+        agg = T.unpack_block_aggregates(
+            (np.asarray(lo), np.asarray(hi)), len(grid)
+        )
+        assert int(agg.games_attempted) == games_per_step
+        return agg
+
+    for i in range(3):  # forced-fetch warm-ups
+        run(i)
+    start = time.perf_counter()
+    n_steps = 4
+    for i in range(n_steps):
+        run(10 + i)
+    rate = n_steps * games_per_step / (time.perf_counter() - start)
+    return {
+        "games_per_sec": round(rate, 1),
+        "shuffles_per_chunk": ns,
+        "compact": compact,
+    }
 
 
 if __name__ == "__main__":

@@ -519,6 +519,7 @@ def _play_block_window(
     params_lookup,
     prior_completed: np.ndarray,
     n_required: int,
+    group_override: int | None = None,
 ):
     """Play one attempt window for every pending block, fused on device.
 
@@ -540,11 +541,16 @@ def _play_block_window(
     seat2 = blocks["seat2_strategy"].to_numpy(dtype=np.int64)
 
     out_sums = np.zeros((n_blocks, 4), dtype=np.int32)
-    # cap each device dispatch: (blocks x window) games per batch, probed via
-    # scripts/probe_fault_envelope.py --h2h-batches; a fixed power-of-two
-    # block-group size keeps one compiled shape across shrinking pending sets
-    group = max(1, _resolve_h2h_dispatch_cap(cfg) // window)
-    group = 1 << (group.bit_length() - 1)  # round down to a power of two
+    # cap each device dispatch: (blocks x window) games per batch. When the
+    # envelope probed the fused window family itself, the caller passes the
+    # probed block-group size straight through (group_override); otherwise
+    # fall back to the flat-probe-derived cap with a fixed power-of-two
+    # group so one compiled shape covers shrinking pending sets.
+    if group_override is not None:
+        group = max(1, int(group_override))
+    else:
+        group = max(1, _resolve_h2h_dispatch_cap(cfg) // window)
+        group = 1 << (group.bit_length() - 1)  # round down to a power of two
     use_aot = bool(getattr(cfg.tpu, "aot_cache", False))
     for root in sorted(set(root_seeds.tolist())):
         sel_root = np.flatnonzero(root_seeds == root)
@@ -599,6 +605,24 @@ def execute_h2h_schedule(
     ).to_pandas().sort_values(["pair_id", "root_seed", "order"], kind="mergesort")
     n_required = int(plan["n_completed_required_per_root_order_block"])
     max_attempts = int(plan["max_attempts_per_root_order_block"])
+    # Window shape: an explicit argument wins; else the fastest probed fused
+    # attempt-window shape from the envelope (the exact program family this
+    # stage compiles — results are invariant to the window partition because
+    # attempts are globally indexed and the stop-at-target truncation
+    # depends only on the cumulative completed count); else the n_required
+    # heuristic under the conservative flat-probe cap.
+    group_override: int | None = None
+    if window is None:
+        from farkle_ii_tpu.utils.fault_envelope import load_fault_envelope
+
+        envelope = load_fault_envelope(cfg.tpu.fault_envelope_path)
+        best = envelope.best_h2h_window() if envelope is not None else None
+        if best is not None and int(cfg.tpu.h2h_games_per_dispatch) <= 0:
+            group_override, window, probed_speed = best
+            logger.info(
+                "h2h window shape %dx%d from window-family probes "
+                "(%.0f games/s probed)", group_override, window, probed_speed,
+            )
     window = window or min(max(n_required, 16), 4096)
 
     # strategy parameter lookup from the manifest
@@ -677,6 +701,7 @@ def execute_h2h_schedule(
         sums = _play_block_window(
             cfg, blocks, attempt_lo, attempt_hi, params_lookup,
             prior_completed=completed[pending], n_required=n_required,
+            group_override=group_override,
         )
         attempted[pending] += sums[:, 0]
         completed[pending] += sums[:, 1]

@@ -43,6 +43,10 @@ class FaultEnvelope:
     # the probe predates speed recording), plus the fault-free set
     h2h_speeds: dict[int, float] = None  # type: ignore[assignment]
     h2h_ok: frozenset[int] = frozenset()
+    # probed fused attempt-window shapes (the production H2H program
+    # family): (nb_blocks, window) -> games/s; flat h2h probes do NOT
+    # transfer to this family (tests/FAILURE_NOTES.md)
+    h2h_windows: dict[tuple[int, int], float] = None  # type: ignore[assignment]
 
     def is_probed_ok(self, k: int, ns: int, compact: bool) -> bool:
         return (int(k), int(ns), bool(compact)) in self.ok_shapes
@@ -152,6 +156,23 @@ class FaultEnvelope:
             return max(timed)[1]
         return max(ok)
 
+    def best_h2h_window(self) -> tuple[int, int, float] | None:
+        """Fastest probed-ok fused attempt-window shape.
+
+        Returns ``(nb_blocks, window, games_per_sec)`` — the exact program
+        family h2h execution compiles, so (unlike the flat h2h probes) the
+        result bounds production dispatch without an extra safety cap.
+        """
+        timed = [
+            (speed, nb, window)
+            for (nb, window), speed in (self.h2h_windows or {}).items()
+            if speed is not None
+        ]
+        if not timed:
+            return None
+        speed, nb, window = max(timed)
+        return nb, window, speed
+
 
 def load_fault_envelope(
     path: str | Path | None, *, n_strategies: int | None = None
@@ -201,6 +222,11 @@ def load_fault_envelope(
             for pr in data.get("h2h_probes", [])
             if pr.get("ok") and pr.get("games_per_sec")
         }
+        h2h_windows = {
+            (int(pr["nb"]), int(pr["window"])): float(pr["games_per_sec"])
+            for pr in data.get("h2h_window_probes", [])
+            if pr.get("ok") and pr.get("games_per_sec")
+        }
     except (json.JSONDecodeError, KeyError, TypeError, ValueError) as exc:
         logger.warning("fault envelope %s unusable (%s); ignoring", p, exc)
         return None
@@ -224,4 +250,5 @@ def load_fault_envelope(
         block_groups=block_groups,
         h2h_speeds=h2h_speeds,
         h2h_ok=h2h_ok,
+        h2h_windows=h2h_windows,
     )

@@ -167,6 +167,96 @@ print(json.dumps({{"ok": True, "games": batch, "steady_s": round(med, 4),
 """
 
 
+_H2H_WINDOW_PROBE_SNIPPET = r"""
+import sys, json, time
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+import numpy as np
+from farkle_ii_tpu.analysis.h2h_schedule import _h2h_window_step
+from farkle_ii_tpu.simulation import strategies as S
+
+nb, window, root = {nb}, {window}, {root_seed}
+grid = S.build_strategy_grid()
+ids = np.arange(nb * 2, dtype=np.int64) % len(grid)
+p = S.pack_strategy_params([grid[i] for i in ids])
+st = np.asarray(p.score_threshold).reshape(nb, 2)
+dt = np.asarray(p.dice_threshold).reshape(nb, 2)
+fl = np.asarray(p.flags).reshape(nb, 2)
+pair_g = jnp.arange(nb, dtype=jnp.uint32)
+order_g = jnp.zeros(nb, dtype=jnp.uint32)
+prior = jnp.zeros(nb, dtype=jnp.int32)
+# n_required beyond the window: every attempt counts (worst-case work)
+n_req = jnp.full((nb,), 2 * window, dtype=jnp.int32)
+step = _h2h_window_step(nb, window, root, use_aot=True)
+
+def run(lo):
+    attempts = jnp.arange(lo, lo + window, dtype=jnp.uint32)
+    out = step(pair_g, order_g, attempts,
+               jnp.asarray(st[:, 0]), jnp.asarray(dt[:, 0]), jnp.asarray(fl[:, 0]),
+               jnp.asarray(st[:, 1]), jnp.asarray(dt[:, 1]), jnp.asarray(fl[:, 1]),
+               prior, n_req)
+    return np.asarray(out)
+
+out = run(0)
+assert out.shape == (nb, 4)
+assert int(out[:, 0].sum()) == nb * window  # every attempt counted
+for i in range(2):
+    run((i + 1) * window)
+timings = []
+for i in range(5):
+    t0 = time.perf_counter()
+    run((3 + i) * window)
+    timings.append(time.perf_counter() - t0)
+med = sorted(timings)[2]
+games = nb * window
+print(json.dumps({{"ok": True, "games": games, "steady_s": round(med, 4),
+                   "games_per_sec": round(games / med)}}))
+"""
+
+
+def probe_one_h2h_window(
+    repo: Path, nb: int, window: int, timeout: float, root_seed: int = 9
+) -> dict:
+    """Probe one fused H2H attempt-window shape — the *production* H2H
+    program family ((blocks, window) + stop-at-target scan), which the flat
+    play_games probes do not transfer to (tests/FAILURE_NOTES.md: the
+    1M-game flat-probed cap compiled a window program that crashed the
+    backend). Runs in a subprocess so a compile/runtime fault cannot kill
+    the sweep; with the production root seed the probe pre-warms the exact
+    AOT executables execution will load."""
+    code = _H2H_WINDOW_PROBE_SNIPPET.format(
+        repo=str(repo), nb=nb, window=window, root_seed=root_seed
+    )
+    start = time.perf_counter()
+    extra: dict = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+        rc = proc.returncode
+        tail = (proc.stdout + proc.stderr)[-2000:]
+        ok = rc == 0 and '"ok": true' in proc.stdout.lower()
+        if ok:
+            try:
+                extra = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                pass
+    except subprocess.TimeoutExpired as exc:
+        rc, ok = -9, False
+        tail = f"timeout after {timeout}s: " + str(exc)[-500:]
+    return {
+        "nb": nb,
+        "window": window,
+        "ok": ok,
+        "rc": rc,
+        "seconds": round(time.perf_counter() - start, 1),
+        "steady_s": extra.get("steady_s"),
+        "games_per_sec": extra.get("games_per_sec"),
+        "tail": None if ok else tail,
+    }
+
+
 def probe_one_h2h(repo: Path, batch: int, timeout: float) -> dict:
     """Probe one 2-seat H2H dispatch batch shape (a distinct program family
     from the tournament chunks, so the tournament envelope does not
@@ -298,6 +388,13 @@ def main() -> int:
         help="comma-separated 2-seat H2H dispatch batch sizes to probe too",
     )
     ap.add_argument(
+        "--h2h-windows", default="",
+        help="comma-separated NBxWINDOW shapes of the fused attempt-window "
+        "program to probe (e.g. 32x2048,128x2048); probed ascending so a "
+        "compile-crash boundary stops the sweep before poking the backend "
+        "with still-bigger programs",
+    )
+    ap.add_argument(
         "--block-groups", default="",
         help="comma-separated m values for the block-group program "
         "(one dispatch = m whole recovery blocks of --nsb shuffles)",
@@ -334,13 +431,14 @@ def main() -> int:
     probes: list = []
     block_group_probes: list = []
     h2h_probes: list = []
+    h2h_window_probes: list = []
 
     # flush (merge + write) after EVERY probe: sweeps are long and may be
     # killed between probes — completed probes must never be lost
     def flush() -> None:
         _write_envelope(
             repo, Path(args.out), probes, block_group_probes, h2h_probes,
-            merge=not args.no_merge,
+            h2h_window_probes, merge=not args.no_merge,
         )
 
     for k in ks:
@@ -373,6 +471,29 @@ def main() -> int:
         print(json.dumps(result), flush=True)
         flush()
 
+    window_shapes = sorted(
+        (
+            (int(nb), int(w))
+            for nb, w in (
+                v.lower().split("x") for v in args.h2h_windows.split(",") if v
+            )
+        ),
+        key=lambda s: s[0] * s[1],
+    )
+    for nb, window in window_shapes:
+        result = probe_one_h2h_window(
+            repo, nb, window, args.timeout, root_seed=args.root_seed
+        )
+        h2h_window_probes.append(result)
+        print(json.dumps(result), flush=True)
+        flush()
+        if not result["ok"]:
+            # a window-program fault can wedge the remote backend for a long
+            # time (FAILURE_NOTES): never escalate past the first failure
+            print("window probe failed; stopping the ascending window sweep",
+                  flush=True)
+            break
+
     flush()
     print("sweep complete")
     return 0
@@ -384,6 +505,7 @@ def _write_envelope(
     probes: list,
     block_group_probes: list,
     h2h_probes: list,
+    h2h_window_probes: list = (),
     *,
     merge: bool,
 ) -> None:
@@ -416,6 +538,10 @@ def _write_envelope(
             ("k", "m", "nsb", "compact", "family"),
         )
         h2h_probes = merged(old.get("h2h_probes", []), h2h_probes, ("h2h_batch",))
+        h2h_window_probes = merged(
+            old.get("h2h_window_probes", []), list(h2h_window_probes),
+            ("nb", "window"),
+        )
 
     payload = {
         "envelope_version": 1,
@@ -431,6 +557,10 @@ def _write_envelope(
         "block_group_probes": block_group_probes,
         "h2h_probes": h2h_probes,
         "h2h_ok_batches": sorted(p["h2h_batch"] for p in h2h_probes if p["ok"]),
+        "h2h_window_probes": list(h2h_window_probes),
+        "h2h_window_ok": sorted(
+            [p["nb"], p["window"]] for p in h2h_window_probes if p["ok"]
+        ),
     }
     out.parent.mkdir(parents=True, exist_ok=True)
     tmp = out.with_suffix(".tmp")

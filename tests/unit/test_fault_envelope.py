@@ -227,3 +227,16 @@ def test_best_shape_considers_compaction_off(tmp_path):
     legacy = load_fault_envelope(_write(tmp_path, _payload([[4, 16, True]])))
     assert legacy.best_shape(4, cap=43) == (16, True)
     assert legacy.best_shape(9, cap=43) is None
+
+
+def test_best_h2h_window(tmp_path):
+    payload = _payload([])
+    payload["h2h_window_probes"] = [
+        {"nb": 32, "window": 2048, "ok": True, "games_per_sec": 1_200_000},
+        {"nb": 128, "window": 2048, "ok": True, "games_per_sec": 2_400_000},
+        {"nb": 512, "window": 2048, "ok": False, "games_per_sec": None},
+    ]
+    env = load_fault_envelope(_write(tmp_path, payload))
+    assert env.best_h2h_window() == (128, 2048, 2_400_000)
+    # never probed -> None (execution keeps the flat-probe-derived cap)
+    assert load_fault_envelope(_write(tmp_path, _payload([]))).best_h2h_window() is None
