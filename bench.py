@@ -162,17 +162,21 @@ def _rate_for_k(k: int, grid, params, envelope) -> dict:
         return {"error": "no probed-ok shape"}
     ns, compact = shape
     spec = T.TournamentSpec(root_seed=42, k=k, n_strategies=len(grid))
+    # scan enough chunks per dispatch that per-dispatch overhead amortizes
+    # (the inner chunk keeps the probed-safe (k, ns) batch geometry)
+    n_chunks = max(1, -(-262_144 // (ns * spec.games_per_shuffle)))
     compiled = cached_compile(
         lambda prm, sh: T.play_and_aggregate_block(
             spec, prm, sh, compact=compact
         ),
-        params, jnp.arange(ns, dtype=jnp.uint32).reshape(1, ns),
-        extra_key=f"bench-perk-k{k}-1x{ns}" + ("" if compact else "-nc"),
+        params, jnp.arange(n_chunks * ns, dtype=jnp.uint32).reshape(n_chunks, ns),
+        extra_key=f"bench-perk-k{k}-{n_chunks}x{ns}" + ("" if compact else "-nc"),
     )
-    games_per_step = ns * spec.games_per_shuffle
+    games_per_step = n_chunks * ns * spec.games_per_shuffle
 
     def run(i):
-        sh = jnp.arange(ns * i, ns * (i + 1), dtype=jnp.uint32).reshape(1, ns)
+        n = n_chunks * ns
+        sh = jnp.arange(n * i, n * (i + 1), dtype=jnp.uint32).reshape(n_chunks, ns)
         lo, hi = compiled(params, sh)
         agg = T.unpack_block_aggregates(
             (np.asarray(lo), np.asarray(hi)), len(grid)
@@ -189,6 +193,7 @@ def _rate_for_k(k: int, grid, params, envelope) -> dict:
     rate = n_steps * games_per_step / (time.perf_counter() - start)
     return {
         "games_per_sec": round(rate, 1),
+        "n_chunks": n_chunks,
         "shuffles_per_chunk": ns,
         "compact": compact,
     }

@@ -428,6 +428,7 @@ def test_mesh_row_export_bit_identical(tmp_path):
     assert frames["ckpt1"].equals(frames["ckpt8"])
 
 
+@pytest.mark.slow  # >15 s compile-heavy; ci-full still runs it
 def test_grouped_rows_dispatch_bit_identical(tmp_path):
     """blocks_per_dispatch>1 with row export on: one device batch plays m
     whole blocks and returns per-block aggregates plus the packed row buffer
@@ -458,6 +459,7 @@ def test_grouped_rows_dispatch_bit_identical(tmp_path):
     assert frames["ckpt1"].equals(frames["ckpt2"])
 
 
+@pytest.mark.slow  # >15 s compile-heavy; ci-full still runs it
 def test_block_group_dispatch_bit_identical(tmp_path):
     """blocks_per_dispatch>1 groups whole blocks into one device batch; the
     per-block artifacts and final summary must be bit-identical to the

@@ -43,6 +43,7 @@ def test_batch_scorer_validation():
         native.score_counts([1, 2, 3])
 
 
+@pytest.mark.slow  # >15 s compile-heavy; ci-full still runs it
 def test_native_engine_matches_device_kernel():
     """The C++ engine twin is bit-identical to the device kernel on shared
     threefry streams — a third independent implementation of the full game

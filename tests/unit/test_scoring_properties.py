@@ -5,6 +5,7 @@ scorer, plus smart-discard optimality against brute force.
 """
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -36,6 +37,7 @@ def test_scoring_permutation_invariant(faces, rnd):
     assert oracle.score_faces(faces) == oracle.score_faces(shuffled)
 
 
+@pytest.mark.slow  # >15 s compile-heavy; ci-full still runs it
 @given(st.lists(st.lists(st.integers(1, 6), min_size=6, max_size=6), min_size=1, max_size=32))
 @settings(max_examples=50, deadline=None)
 def test_vectorized_scorer_matches_oracle(rolls):

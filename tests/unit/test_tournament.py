@@ -184,6 +184,7 @@ def test_pack_unpack_aggregates_roundtrip():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # >15 s compile-heavy; ci-full still runs it
 def test_block_group_bit_identical_to_per_block_dispatch(params):
     # one big play batch spanning m blocks must reproduce each block's
     # packed aggregate bit-for-bit (coordinate-addressed RNG => batch
@@ -211,6 +212,7 @@ def test_block_group_rejects_oversized_blocks(params):
         T.play_and_aggregate_blocks(spec, params, sh)
 
 
+@pytest.mark.slow  # >15 s compile-heavy; ci-full still runs it
 def test_scanned_blocks_bit_identical_to_flat_and_per_block(params):
     # the scan-family group program must reproduce the flat group's and each
     # single block's packed aggregates bit-for-bit (same per-block reductions,
