@@ -361,6 +361,75 @@ def aggregate_from_permutation(
     )
 
 
+def aggregate_hybrid(
+    result: gk.GameResult, seat_ids: jax.Array, n_strategies: int, k: int
+) -> TournamentAggregates:
+    """Counts by inverse-permutation gather, metrics by ONE segment sum.
+
+    Production aggregation (round 4). The round-3 production reduction
+    (:func:`aggregate_from_permutation`) pays a ``(NS, S, M)`` metrics
+    gather that measured **78 ms of a 145 ms chunk** at k=5/ns=64 — by far
+    the chunk's dominant cost (``results/agg_cost_k5.json``: the play loop
+    itself is ~13 ms over dispatch latency; the argsort and count gathers
+    are ~3 ms). Winner metrics touch only one seat per game, so they reduce
+    exactly with a single ``segment_sum`` keyed on the winner's strategy id
+    over a stacked ``(B, 4M)`` matrix (sums + the three square limbs share
+    one sort), while the exposure/win counts keep the cheap permutation
+    gathers. Bit-identical to both older reductions (pure integer sums;
+    tests assert equality); measured ~841k games/s vs 487k for the full
+    permutation gather at k=5/ns=64 sequential.
+    """
+    b, _ = seat_ids.shape
+    ns_g = b * k // n_strategies
+    perm = seat_ids.reshape(ns_g, n_strategies)
+    inv = jnp.argsort(perm, axis=1)
+    g = n_strategies // k
+
+    completed = result.completed.reshape(ns_g, g)
+    winner_seat = result.winner_seat.reshape(ns_g, g)
+    pos_game = jnp.arange(n_strategies, dtype=jnp.int32) // k
+    pos_seat = jnp.arange(n_strategies, dtype=jnp.int32) % k
+    completed_pos = completed[:, pos_game]
+    win_pos = completed_pos & (winner_seat[:, pos_game] == pos_seat[None, :])
+
+    def gsum(pos_values):
+        return jnp.take_along_axis(pos_values, inv, axis=1).sum(
+            axis=0, dtype=jnp.int32
+        )
+
+    attempted = jnp.full((n_strategies,), ns_g, dtype=jnp.int32)
+    completed_exp = gsum(completed_pos.astype(jnp.int32))
+    wins = gsum(win_pos.astype(jnp.int32))
+
+    metrics, _ = winner_metrics(result)  # (B, M)
+    masked = jnp.where(result.completed[:, None], metrics, 0)
+    hi = masked // _SPLIT
+    lo = masked % _SPLIT
+    stacked = jnp.concatenate([masked, hi * hi, hi * lo, lo * lo], axis=1)
+    winner_sid = jnp.take_along_axis(
+        seat_ids, jnp.clip(result.winner_seat, 0, None)[:, None], axis=1
+    )[:, 0]
+    # safety-limit games carry no winner: route them to a pad bin
+    winner_sid = jnp.where(result.completed, winner_sid, n_strategies)
+    segs = jax.ops.segment_sum(
+        stacked, winner_sid, num_segments=n_strategies + 1
+    )[:n_strategies]
+    m = N_METRICS
+    return TournamentAggregates(
+        wins=wins,
+        attempted_exposures=attempted,
+        completed_exposures=completed_exp,
+        safety_limit_exposures=attempted - completed_exp,
+        games_attempted=jnp.asarray(b, dtype=jnp.int32),
+        games_completed=result.completed.astype(jnp.int32).sum(),
+        games_safety_limit=(~result.completed).astype(jnp.int32).sum(),
+        metric_sums=segs[:, :m],
+        metric_sq_hi2=segs[:, m : 2 * m],
+        metric_sq_hilo=segs[:, 2 * m : 3 * m],
+        metric_sq_lo2=segs[:, 3 * m :],
+    )
+
+
 def play_and_aggregate(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
@@ -375,7 +444,7 @@ def play_and_aggregate(
         spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple,
         game_kwargs=game_kwargs,
     )
-    return aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
+    return aggregate_hybrid(result, seat_ids, spec.n_strategies, spec.k)
 
 
 def play_and_aggregate_blocks(
@@ -419,9 +488,7 @@ def play_and_aggregate_blocks(
 
     def agg_one(sl_result, sl_seats):
         return pack_aggregates(
-            aggregate_from_permutation(
-                sl_result, sl_seats, spec.n_strategies, spec.k
-            )
+            aggregate_hybrid(sl_result, sl_seats, spec.n_strategies, spec.k)
         )
 
     rows = []
@@ -631,7 +698,7 @@ def play_and_aggregate_with_rows(
         spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple
     )
     return (
-        aggregate(result, seat_ids, spec.n_strategies),
+        aggregate_hybrid(result, seat_ids, spec.n_strategies, spec.k),
         pack_result_rows(result, seat_ids),
     )
 

@@ -26,29 +26,38 @@ def main() -> int:
 
     results = {}
 
+    # jax Arrays cache their host copy after the first transfer, so every
+    # timed fetch must hit a FRESH device array (a distinct computation).
+    mk = jax.jit(
+        lambda n, salt: jnp.arange(n, dtype=jnp.int32).reshape(-1, 64) + salt,
+        static_argnums=(0,),
+    )
+
     for mb in (1, 4, 16, 64):
         n = mb * 1024 * 1024 // 4
-        arr = jax.jit(
-            lambda: jnp.arange(n, dtype=jnp.int32).reshape(-1, 64) * 3
-        )()
-        int(np.asarray(arr[0, 0]))  # materialize
+        int(np.asarray(mk(n, 0)[0, 0]))  # compile both programs
+        rows = n // 64
 
-        # single fetch
+        def fresh(salt):
+            return mk(n, salt)
+
+        # single fetch of a fresh array each round
         ts = []
-        for _ in range(3):
+        for r in range(3):
+            arr = fresh(100 + r)
             t0 = time.perf_counter()
-            host = np.asarray(arr)
+            np.asarray(arr)
             ts.append(time.perf_counter() - t0)
         single = sorted(ts)[1]
 
-        # parallel slice fetches (4 threads over row ranges)
-        rows = arr.shape[0]
-        slices = [arr[i * rows // 4:(i + 1) * rows // 4] for i in range(4)]
-        for s in slices:
-            int(np.asarray(s[0, 0]))
+        # parallel slice fetches (4 threads over row ranges of a fresh array)
         ts = []
         with ThreadPoolExecutor(4) as pool:
-            for _ in range(3):
+            for r in range(3):
+                arr = fresh(200 + r)
+                slices = [
+                    arr[i * rows // 4:(i + 1) * rows // 4] for i in range(4)
+                ]
                 t0 = time.perf_counter()
                 list(pool.map(np.asarray, slices))
                 ts.append(time.perf_counter() - t0)

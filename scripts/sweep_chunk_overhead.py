@@ -95,12 +95,24 @@ def main() -> int:
             extra_key=f"chunkov-play-k{k}-{ns}" + ("" if compact else "-nc"),
         )
 
+    def rows_chunk(compact):
+        def fn(prm, sh):
+            agg, packed_rows = T.play_and_aggregate_with_rows(
+                spec, prm, sh, compact=compact
+            )
+            return T.pack_aggregates(agg), packed_rows
+        return cached_compile(
+            fn, params, jnp.arange(ns, dtype=jnp.uint32),
+            extra_key=f"chunkov-rows-k{k}-{ns}" + ("" if compact else "-nc"),
+        )
+
     programs = {}
     t0 = time.perf_counter()
     programs["prod-c"] = agg_chunk(True)
     programs["prod-nc"] = agg_chunk(False)
     programs["fori1024"] = fori_fixed(1024)
     programs["play-c"] = play_only(True)
+    programs["rows-c"] = rows_chunk(True)
     print(f"compiled in {time.perf_counter()-t0:.0f}s", flush=True)
 
     sh_counter = [1000]
@@ -116,7 +128,11 @@ def main() -> int:
         sh_counter[0] += ns
         out = fn(params, jnp.arange(lo, lo + ns, dtype=jnp.uint32))
         if fetch:
-            np.asarray(out)
+            if isinstance(out, tuple):
+                for o in out:
+                    np.asarray(o)
+            else:
+                np.asarray(out)
         return out
 
     # warmups

@@ -149,20 +149,30 @@ def test_accumulator_state_roundtrip(params):
 
 @pytest.mark.slow
 def test_permutation_aggregate_equals_generic(params):
-    """Gather-based aggregation must equal segment-sum aggregation exactly."""
+    """All three aggregation implementations must agree exactly: the
+    segment-sum reference, the permutation-gather one, and the production
+    hybrid (counts by gather, metrics by one stacked segment sum)."""
     spec = T.TournamentSpec(root_seed=31, k=3, n_strategies=24)
     result, seat_ids = jax.jit(
         lambda sh: T.play_shuffles(spec, params, sh)
     )(jnp.arange(5))
     a = T.TournamentAccumulator(24)
     a.absorb(T.aggregate(result, seat_ids, 24))
-    b = T.TournamentAccumulator(24)
-    b.absorb(T.aggregate_from_permutation(result, seat_ids, 24, 3))
-    for name in ("wins", "attempted_exposures", "completed_exposures",
-                 "safety_limit_exposures", "metric_sums", "metric_sq_sums"):
-        np.testing.assert_array_equal(getattr(a, name), getattr(b, name), err_msg=name)
-    assert a.games_attempted == b.games_attempted
-    assert a.games_completed == b.games_completed
+    accs = {
+        "perm": T.aggregate_from_permutation(result, seat_ids, 24, 3),
+        "hybrid": T.aggregate_hybrid(result, seat_ids, 24, 3),
+    }
+    for label, agg in accs.items():
+        b = T.TournamentAccumulator(24)
+        b.absorb(agg)
+        for name in ("wins", "attempted_exposures", "completed_exposures",
+                     "safety_limit_exposures", "metric_sums", "metric_sq_sums"):
+            np.testing.assert_array_equal(
+                getattr(a, name), getattr(b, name), err_msg=f"{label}:{name}"
+            )
+        assert a.games_attempted == b.games_attempted
+        assert a.games_completed == b.games_completed
+        assert a.games_safety_limit == b.games_safety_limit
 
 
 def test_pack_unpack_aggregates_roundtrip():
