@@ -271,7 +271,7 @@ class CellRunResult:
 def _compile_step(
     spec: T.TournamentSpec, params, ns: int, use_aot_cache: bool, *,
     with_rows: bool = False, compact: bool = True, pad_multiple: int | None = None,
-    game_kwargs: dict | None = None,
+    game_kwargs: dict | None = None, wide_rows: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -279,11 +279,17 @@ def _compile_step(
     # aggregates are packed into one int32 vector on device: remote backends
     # pay a full round-trip per fetched array, so one buffer per chunk
     if with_rows:
+        row_format = "wide" if wide_rows else "bits"
 
         def fn(params, sh):
-            agg, packed_rows = T.play_and_aggregate_with_rows(
-                spec, params, sh, compact=compact, pad_multiple=pad_multiple
+            out = T.play_and_aggregate_with_rows(
+                spec, params, sh, compact=compact, pad_multiple=pad_multiple,
+                row_format=row_format,
             )
+            if row_format == "bits":
+                agg, words, overflow = out
+                return T.pack_aggregates(agg), words, overflow
+            agg, packed_rows = out
             return T.pack_aggregates(agg), packed_rows
 
         if game_kwargs:
@@ -309,6 +315,7 @@ def _compile_step(
             extra_key=f"tournament-k{spec.k}-s{spec.n_strategies}-ns{ns}"
             f"-t{spec.target_score}-r{spec.max_rounds}-rows{int(with_rows)}"
             f"-p{pad_multiple}"
+            + ("-widerows" if (with_rows and wide_rows) else "")
             + ("" if compact else "-nocompact"),
         )
         return compiled
@@ -466,10 +473,13 @@ def run_cell(
 
     # compiled steps are memoized per (chunk size, compaction): re-tracing or
     # re-deserializing a cached executable per block costs seconds
-    step_cache: dict[tuple, Any] = {("chunk", ns_device, compact, False): step}
+    step_cache: dict[tuple, Any] = {("chunk", ns_device, compact, False, False): step}
 
-    def step_for(size: int, compact_: bool, *, sharded: bool = False):
-        key = ("chunk", size, compact_, sharded)
+    def step_for(
+        size: int, compact_: bool, *, sharded: bool = False,
+        wide_rows: bool = False,
+    ):
+        key = ("chunk", size, compact_, sharded, wide_rows)
         if key not in step_cache:
             if sharded and with_rows:
                 from farkle_ii_tpu.parallel.mesh import sharded_rows_step
@@ -488,7 +498,7 @@ def run_cell(
                 step_cache[key] = _compile_step(
                     spec, params, size, cfg.tpu.aot_cache,
                     with_rows=with_rows, compact=compact_, pad_multiple=pad_multiple,
-                    game_kwargs=agg_kwargs,
+                    game_kwargs=agg_kwargs, wide_rows=wide_rows,
                 )
         return step_cache[key]
 
@@ -561,6 +571,7 @@ def run_cell(
                 def fn(p, sh):
                     return T.play_and_aggregate_blocks_with_rows(
                         spec, p, sh, compact=compact_, pad_multiple=pad_multiple,
+                        row_format="bits",
                     )
 
             else:
@@ -589,7 +600,7 @@ def run_cell(
                     extra_key=(
                         f"blkgrp-k{spec.k}-s{spec.n_strategies}"
                         f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
-                        f"-p{pad_multiple}-rows1"
+                        f"-p{pad_multiple}-rows2bits"
                         if with_rows
                         else f"blk{group_family}-k{spec.k}-s{spec.n_strategies}"
                         f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
@@ -614,9 +625,23 @@ def run_cell(
         nonlocal games_done
         try:
             if with_rows:
-                packed_aggs, packed_rows = out
+                packed_aggs, packed_rows, row_overflow = out
                 aggs = np.asarray(packed_aggs)
                 row_buf = np.asarray(packed_rows)
+                if bool(np.asarray(row_overflow)):
+                    # a field exceeded its validated bit width (never
+                    # observed in practice): replay through the wide format
+                    logger.warning(
+                        "k=%d group %s: bit-packed row overflow; replaying "
+                        "blocks through the wide row format", n, batch_ids,
+                    )
+                    for b in batch_ids:
+                        absorb_block(
+                            b,
+                            dispatch_block(b, compact_=compact, wide_rows=True),
+                            wide_rows=True,
+                        )
+                    return
             else:
                 aggs = np.asarray(out)
                 row_buf = None
@@ -635,8 +660,8 @@ def run_cell(
             acc.absorb(T.unpack_aggregates(aggs[i], len(strategies)))
             acc.check_conservation()
             if row_buf is not None:
-                result, seat_ids = T.unpack_result_rows(
-                    row_buf[i * games_per_block : (i + 1) * games_per_block],
+                result, seat_ids = T.unpack_result_rows_bits(
+                    row_buf[:, i * games_per_block : (i + 1) * games_per_block],
                     int(n),
                 )
                 _enqueue_row_shard(
@@ -653,7 +678,9 @@ def run_cell(
                 f"{plan.batch_count} ({games_done:,} games)"
             )
 
-    def dispatch_block(batch_id: int, *, compact_: bool) -> list[tuple[int, int, Any]]:
+    def dispatch_block(
+        batch_id: int, *, compact_: bool, wide_rows: bool = False
+    ) -> list[tuple[int, int, Any]]:
         """Dispatch one deterministic block without waiting for results.
 
         Aggregate-only execution scans all full chunks of the block on
@@ -689,20 +716,49 @@ def run_cell(
         for chunk_lo in range(pos, hi, ns_device):
             chunk_hi = min(chunk_lo + ns_device, hi)
             idx = np.arange(chunk_lo, chunk_hi, dtype=np.uint32)
-            out = step_for(len(idx), compact_)(params, jnp.asarray(idx))
+            out = step_for(len(idx), compact_, wide_rows=wide_rows)(
+                params, jnp.asarray(idx)
+            )
             pending.append((chunk_lo, chunk_hi, out))
         return pending
 
     def absorb_block(
-        batch_id: int, pending: list[tuple[int, int, Any]], *, retried: bool = False
+        batch_id: int, pending: list[tuple[int, int, Any]], *,
+        retried: bool = False, wide_rows: bool = False
     ) -> None:
         nonlocal games_done
         acc = T.TournamentAccumulator(len(strategies))
         try:
             for chunk_lo, chunk_hi, out in pending:
                 if with_rows:
-                    packed, packed_rows = out
-                    result, seat_ids = T.unpack_result_rows(packed_rows, int(n))
+                    # the mesh-sharded rows step still emits the wide format
+                    if wide_rows or len(out) == 2:
+                        packed, packed_rows = out
+                        result, seat_ids = T.unpack_result_rows(
+                            packed_rows, int(n)
+                        )
+                    else:
+                        packed, row_words, row_overflow = out
+                        if bool(np.asarray(row_overflow)):
+                            # a row field exceeded its validated bit width
+                            # (never observed): replay this block through
+                            # the wide row format
+                            logger.warning(
+                                "k=%d block %d: bit-packed row overflow; "
+                                "replaying via the wide row format",
+                                n, batch_id,
+                            )
+                            absorb_block(
+                                batch_id,
+                                dispatch_block(
+                                    batch_id, compact_=compact, wide_rows=True
+                                ),
+                                retried=retried, wide_rows=True,
+                            )
+                            return
+                        result, seat_ids = T.unpack_result_rows_bits(
+                            np.asarray(row_words), int(n)
+                        )
                     _enqueue_row_shard(
                         batch_id=batch_id, shuffle_lo=chunk_lo,
                         shuffle_hi=chunk_hi, result=result, seat_ids=seat_ids,
@@ -724,7 +780,9 @@ def run_cell(
                 n, batch_id,
             )
             absorb_block(
-                batch_id, dispatch_block(batch_id, compact_=False), retried=True
+                batch_id,
+                dispatch_block(batch_id, compact_=False, wide_rows=wide_rows),
+                retried=True, wide_rows=wide_rows,
             )
             return
         acc.check_conservation()

@@ -361,75 +361,6 @@ def aggregate_from_permutation(
     )
 
 
-def aggregate_hybrid(
-    result: gk.GameResult, seat_ids: jax.Array, n_strategies: int, k: int
-) -> TournamentAggregates:
-    """Counts by inverse-permutation gather, metrics by ONE segment sum.
-
-    Production aggregation (round 4). The round-3 production reduction
-    (:func:`aggregate_from_permutation`) pays a ``(NS, S, M)`` metrics
-    gather that measured **78 ms of a 145 ms chunk** at k=5/ns=64 — by far
-    the chunk's dominant cost (``results/agg_cost_k5.json``: the play loop
-    itself is ~13 ms over dispatch latency; the argsort and count gathers
-    are ~3 ms). Winner metrics touch only one seat per game, so they reduce
-    exactly with a single ``segment_sum`` keyed on the winner's strategy id
-    over a stacked ``(B, 4M)`` matrix (sums + the three square limbs share
-    one sort), while the exposure/win counts keep the cheap permutation
-    gathers. Bit-identical to both older reductions (pure integer sums;
-    tests assert equality); measured ~841k games/s vs 487k for the full
-    permutation gather at k=5/ns=64 sequential.
-    """
-    b, _ = seat_ids.shape
-    ns_g = b * k // n_strategies
-    perm = seat_ids.reshape(ns_g, n_strategies)
-    inv = jnp.argsort(perm, axis=1)
-    g = n_strategies // k
-
-    completed = result.completed.reshape(ns_g, g)
-    winner_seat = result.winner_seat.reshape(ns_g, g)
-    pos_game = jnp.arange(n_strategies, dtype=jnp.int32) // k
-    pos_seat = jnp.arange(n_strategies, dtype=jnp.int32) % k
-    completed_pos = completed[:, pos_game]
-    win_pos = completed_pos & (winner_seat[:, pos_game] == pos_seat[None, :])
-
-    def gsum(pos_values):
-        return jnp.take_along_axis(pos_values, inv, axis=1).sum(
-            axis=0, dtype=jnp.int32
-        )
-
-    attempted = jnp.full((n_strategies,), ns_g, dtype=jnp.int32)
-    completed_exp = gsum(completed_pos.astype(jnp.int32))
-    wins = gsum(win_pos.astype(jnp.int32))
-
-    metrics, _ = winner_metrics(result)  # (B, M)
-    masked = jnp.where(result.completed[:, None], metrics, 0)
-    hi = masked // _SPLIT
-    lo = masked % _SPLIT
-    stacked = jnp.concatenate([masked, hi * hi, hi * lo, lo * lo], axis=1)
-    winner_sid = jnp.take_along_axis(
-        seat_ids, jnp.clip(result.winner_seat, 0, None)[:, None], axis=1
-    )[:, 0]
-    # safety-limit games carry no winner: route them to a pad bin
-    winner_sid = jnp.where(result.completed, winner_sid, n_strategies)
-    segs = jax.ops.segment_sum(
-        stacked, winner_sid, num_segments=n_strategies + 1
-    )[:n_strategies]
-    m = N_METRICS
-    return TournamentAggregates(
-        wins=wins,
-        attempted_exposures=attempted,
-        completed_exposures=completed_exp,
-        safety_limit_exposures=attempted - completed_exp,
-        games_attempted=jnp.asarray(b, dtype=jnp.int32),
-        games_completed=result.completed.astype(jnp.int32).sum(),
-        games_safety_limit=(~result.completed).astype(jnp.int32).sum(),
-        metric_sums=segs[:, :m],
-        metric_sq_hi2=segs[:, m : 2 * m],
-        metric_sq_hilo=segs[:, 2 * m : 3 * m],
-        metric_sq_lo2=segs[:, 3 * m :],
-    )
-
-
 def play_and_aggregate(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
@@ -444,7 +375,7 @@ def play_and_aggregate(
         spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple,
         game_kwargs=game_kwargs,
     )
-    return aggregate_hybrid(result, seat_ids, spec.n_strategies, spec.k)
+    return aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
 
 
 def play_and_aggregate_blocks(
@@ -488,7 +419,9 @@ def play_and_aggregate_blocks(
 
     def agg_one(sl_result, sl_seats):
         return pack_aggregates(
-            aggregate_hybrid(sl_result, sl_seats, spec.n_strategies, spec.k)
+            aggregate_from_permutation(
+                sl_result, sl_seats, spec.n_strategies, spec.k
+            )
         )
 
     rows = []
@@ -550,7 +483,8 @@ def play_and_aggregate_blocks_with_rows(
     compact: bool = True,
     pad_multiple: int | None = None,
     game_kwargs: dict | None = None,
-) -> tuple[jax.Array, jax.Array]:
+    row_format: str = "wide",
+):
     """Row-export twin of :func:`play_and_aggregate_blocks`.
 
     One device batch plays ``m`` whole recovery blocks; returns per-block
@@ -587,6 +521,9 @@ def play_and_aggregate_blocks_with_rows(
                 )
             )
         )
+    if row_format == "bits":
+        words, overflow = pack_result_rows_bits(result, seat_ids)
+        return jnp.stack(rows), words, overflow
     return jnp.stack(rows), pack_result_rows(result, seat_ids)
 
 
@@ -671,6 +608,119 @@ def pack_result_rows(result: gk.GameResult, seat_ids: jax.Array) -> jax.Array:
     return jnp.concatenate([per_game, *per_seat, seat_ids.astype(jnp.int32)], axis=1)
 
 
+# ── bit-packed row export ────────────────────────────────────────────────────
+# Row export is fetch-bandwidth bound on remote backends (~22-27 MB/s
+# measured, results/fetch_bandwidth.json): the wide (B, 6+12K) int32 buffer
+# costs 264 B/game at k=5. The bit-packed format below packs the same 17
+# fields into ~100 B/game with per-field validated widths — a runtime
+# overflow flag (one OR-reduce on device) guards every width that is not
+# provable from the rules, and the runner falls back to the wide format for
+# the (never observed) chunk that trips it. Field widths, LSB-first greedy
+# word layout, and the host-side inverse all derive from ONE table so the
+# two sides cannot drift.
+#
+# Provable widths: n_rounds/n_turns/n_farkles <= max_rounds+2 (9 bits at the
+# production cap), ranks <= K <= 15, winner_seat+1 <= K+1, seat_id < 8192
+# for the 5,160-strategy grid. Validated widths (overflow-checked): scores/
+# winning_score/margin/highest_turn < 2^18, n_rolls < 2^13, smart-discard
+# and hot-dice counters < 2^11..2^12, roll_limit_hits < 2^8.
+
+_ROW_BITS_GAME = (
+    ("completed", 1), ("winner_seat_p1", 4), ("n_rounds", 9),
+    ("roll_limit_hits", 8), ("winning_score", 18), ("margin", 18),
+)
+_ROW_BITS_SEAT = (
+    ("scores", 18), ("ranks", 4), ("n_farkles", 9), ("n_rolls", 13),
+    ("n_turns", 9), ("highest_turn", 18), ("smart_five_uses", 11),
+    ("n_smart_five_dice", 12), ("smart_one_uses", 11),
+    ("n_smart_one_dice", 12), ("n_hot_dice", 11), ("seat_id", 13),
+)
+
+
+def row_bits_layout(k: int) -> tuple[list, int]:
+    """Greedy LSB-first word layout: [((field, seat|None), word, shift, bits)]."""
+    slots: list = []
+    word = 0
+    used = 0
+
+    def place(name, seat, bits):
+        nonlocal word, used
+        if used + bits > 32:
+            word += 1
+            used = 0
+        slots.append(((name, seat), word, used, bits))
+        used += bits
+
+    for name, bits in _ROW_BITS_GAME:
+        place(name, None, bits)
+    for j in range(k):
+        for name, bits in _ROW_BITS_SEAT:
+            place(name, j, bits)
+    return slots, word + 1
+
+
+def pack_result_rows_bits(
+    result: gk.GameResult, seat_ids: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side bit pack -> ``((W, B) uint32 words, () bool overflow)``.
+
+    The words buffer is laid out ``(W, B)`` — batch in the minor dimension —
+    so the on-device tiling is dense and the fetch transfers no lane
+    padding. ``overflow`` is True iff ANY field exceeded its validated
+    width; the caller must then replay the chunk through the wide format.
+    """
+    b, k = seat_ids.shape
+    slots, n_words = row_bits_layout(k)
+
+    def value_of(name, seat):
+        if name == "winner_seat_p1":
+            return result.winner_seat + 1
+        if name == "seat_id":
+            return seat_ids[:, seat]
+        v = getattr(result, name)
+        if name in {f for f, _ in _ROW_BITS_GAME}:
+            return v.astype(jnp.int32)
+        return v[:, seat].astype(jnp.int32)
+
+    words = [jnp.zeros((b,), dtype=jnp.uint32) for _ in range(n_words)]
+    overflow = jnp.zeros((b,), dtype=bool)
+    for (name, seat), w, shift, bits in slots:
+        v = value_of(name, seat).astype(jnp.uint32)
+        overflow |= (v >> bits) != 0
+        words[w] = words[w] | (v << shift)
+    return jnp.stack(words), overflow.any()
+
+
+def unpack_result_rows_bits(packed, k: int) -> tuple[gk.GameResult, np.ndarray]:
+    """Host-side inverse of :func:`pack_result_rows_bits` (numpy bit ops)."""
+    arr = np.asarray(packed).astype(np.uint32)  # (W, B)
+    slots, n_words = row_bits_layout(k)
+    if arr.shape[0] != n_words:
+        raise ValueError(f"packed row words {arr.shape[0]} != layout {n_words}")
+    b = arr.shape[1]
+    game: dict[str, np.ndarray] = {}
+    seat: dict[str, np.ndarray] = {
+        name: np.empty((b, k), dtype=np.int32) for name, _ in _ROW_BITS_SEAT
+    }
+    for (name, sj), w, shift, bits in slots:
+        v = ((arr[w] >> np.uint32(shift)) & np.uint32((1 << bits) - 1)).astype(
+            np.int32
+        )
+        if sj is None:
+            game[name] = v
+        else:
+            seat[name][:, sj] = v
+    seat_ids = seat.pop("seat_id")
+    fields: dict[str, np.ndarray] = dict(seat)
+    fields["completed"] = game["completed"].astype(bool)
+    fields["winner_seat"] = game["winner_seat_p1"] - 1
+    fields["winning_score"] = game["winning_score"]
+    fields["margin"] = game["margin"]
+    fields["n_rounds"] = game["n_rounds"]
+    fields["roll_limit_hits"] = game["roll_limit_hits"]
+    return gk.GameResult(**fields), seat_ids
+
+
 def unpack_result_rows(packed, k: int) -> tuple[gk.GameResult, np.ndarray]:
     """Host-side inverse of :func:`pack_result_rows` (numpy views)."""
     arr = np.asarray(packed)
@@ -692,15 +742,22 @@ def play_and_aggregate_with_rows(
     *,
     compact: bool = True,
     pad_multiple: int | None = None,
+    row_format: str = "wide",
 ):
-    """Play + reduce, also returning packed per-game rows for export."""
+    """Play + reduce, also returning packed per-game rows for export.
+
+    ``row_format="bits"`` returns ``(agg, words, overflow)`` with the
+    ~2.6x-smaller bit-packed buffer (fetch-bandwidth is the row path's
+    bottleneck); ``"wide"`` returns ``(agg, packed_rows)``.
+    """
     result, seat_ids = play_shuffles(
         spec, params, shuffle_indices, compact=compact, pad_multiple=pad_multiple
     )
-    return (
-        aggregate_hybrid(result, seat_ids, spec.n_strategies, spec.k),
-        pack_result_rows(result, seat_ids),
-    )
+    agg = aggregate_from_permutation(result, seat_ids, spec.n_strategies, spec.k)
+    if row_format == "bits":
+        words, overflow = pack_result_rows_bits(result, seat_ids)
+        return agg, words, overflow
+    return agg, pack_result_rows(result, seat_ids)
 
 
 # ---------------------------------------------------------------------------

@@ -96,3 +96,35 @@ def test_coordinate_fingerprints_deterministic():
     )
     np.testing.assert_array_equal(a, b)
     assert len(set(a.tolist())) == 4
+
+
+def test_bit_packed_rows_roundtrip(played):
+    """pack_result_rows_bits -> unpack must reproduce every exported field
+    exactly (and agree with the wide format), with no overflow on real
+    games."""
+    spec, result, seat_ids = played
+    words, overflow = T.pack_result_rows_bits(result, jnp.asarray(seat_ids))
+    assert not bool(np.asarray(overflow))
+    slots, n_words = T.row_bits_layout(spec.k)
+    assert np.asarray(words).shape == (n_words, seat_ids.shape[0])
+
+    got, got_sids = T.unpack_result_rows_bits(words, spec.k)
+    wide = T.pack_result_rows(result, jnp.asarray(seat_ids))
+    want, want_sids = T.unpack_result_rows(wide, spec.k)
+    np.testing.assert_array_equal(got_sids, want_sids)
+    for field in want._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, field)),
+            np.asarray(getattr(want, field)),
+            err_msg=field,
+        )
+
+
+def test_bit_packed_rows_overflow_flag(played):
+    """A value beyond its validated width must raise the overflow flag."""
+    spec, result, seat_ids = played
+    doctored = result._replace(
+        winning_score=result.winning_score.at[0].set(1 << 18)
+    )
+    _, overflow = T.pack_result_rows_bits(doctored, jnp.asarray(seat_ids))
+    assert bool(np.asarray(overflow))

@@ -149,9 +149,8 @@ def test_accumulator_state_roundtrip(params):
 
 @pytest.mark.slow
 def test_permutation_aggregate_equals_generic(params):
-    """All three aggregation implementations must agree exactly: the
-    segment-sum reference, the permutation-gather one, and the production
-    hybrid (counts by gather, metrics by one stacked segment sum)."""
+    """The production permutation-gather aggregation must equal the
+    segment-sum reference exactly."""
     spec = T.TournamentSpec(root_seed=31, k=3, n_strategies=24)
     result, seat_ids = jax.jit(
         lambda sh: T.play_shuffles(spec, params, sh)
@@ -160,7 +159,6 @@ def test_permutation_aggregate_equals_generic(params):
     a.absorb(T.aggregate(result, seat_ids, 24))
     accs = {
         "perm": T.aggregate_from_permutation(result, seat_ids, 24, 3),
-        "hybrid": T.aggregate_hybrid(result, seat_ids, 24, 3),
     }
     for label, agg in accs.items():
         b = T.TournamentAccumulator(24)
