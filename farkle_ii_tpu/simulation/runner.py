@@ -138,7 +138,8 @@ def save_block_aggregate(
 
 
 def load_block_aggregate(
-    path: Path, *, expected_coordinates: dict | None = None
+    path: Path, *, expected_coordinates: dict | None = None,
+    allow_counts_only: bool = False,
 ) -> T.TournamentAccumulator:
     """Load one persisted block, cross-checking its semantic coordinates.
 
@@ -151,6 +152,13 @@ def load_block_aggregate(
     game counts must agree.
     """
     meta = validate_sidecar(path, expected_producer="simulation").get("metadata", {})
+    if meta.get("counts_only") and not allow_counts_only:
+        # the block's metric sums live in its group artifact; absorbing the
+        # npz alone would silently drop them
+        raise ValueError(
+            f"block {path.name} is counts-only; its metrics require the "
+            "group artifact"
+        )
     with np.load(path) as data:
         state = {k: data[k] for k in data.files if k != "batch_id"}
         stored_batch = int(data["batch_id"])
@@ -177,6 +185,44 @@ def load_block_aggregate(
                 f"block {path.name} does not match expected coordinates: {mismatches}"
             )
     return acc
+
+
+def _group_metrics_path(cfg: AppConfig, n: int, lo: int, hi: int) -> Path:
+    return cfg.n_players_dir(n) / "blocks" / f"group_{lo:06d}_{hi:06d}_metrics.npz"
+
+
+def save_group_metrics(
+    path: Path, sums: np.ndarray, sq: np.ndarray, *, coordinates: dict
+) -> None:
+    """Persist one block group's int64 metric totals (compact-fetch path)."""
+    buf = io.BytesIO()
+    np.savez(buf, metric_sums=sums, metric_sq_sums=sq)
+    with atomic_path(path) as tmp:
+        Path(tmp).write_bytes(buf.getvalue())
+    make_sidecar(
+        path, producer="simulation", scope="by_k", metadata=coordinates
+    )
+
+
+def load_group_metrics(
+    path: Path, *, expected_coordinates: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    meta = validate_sidecar(path, expected_producer="simulation").get("metadata", {})
+    mismatches = {
+        key: (meta.get(key), expected)
+        for key, expected in expected_coordinates.items()
+        if meta.get(key) != expected
+    }
+    if mismatches:
+        raise ValueError(
+            f"group metrics {path.name} does not match expected coordinates: "
+            f"{mismatches}"
+        )
+    with np.load(path) as data:
+        return (
+            data["metric_sums"].astype(np.int64),
+            data["metric_sq_sums"].astype(np.int64),
+        )
 
 
 def _write_row_shard(
@@ -451,6 +497,27 @@ def run_cell(
             "dice_stream": gk.DICE_STREAM_VERSION,
         }
 
+    # compact-fetch block groups: per-block counts + per-group metric
+    # totals (the (m, packed) group fetch cost ~0.99 MB/block against a
+    # ~23 MB/s tunnel — see tournament.play_blocks_compact). Single-host,
+    # aggregate-only path; group boundaries are ABSOLUTE (batch ids
+    # [g*m, (g+1)*m)) so resume and dispatch always agree on membership.
+    host_index, host_count = host_partition()
+    use_compact_groups = (
+        not with_rows and host_count == 1 and n_mesh == 1
+    )
+
+    def _group_coords(lo: int, hi: int) -> dict:
+        return {
+            "batch_lo": lo,
+            "batch_hi": hi,
+            "root_seed": int(cfg.sim.seed),
+            "k": int(n),
+            "games_per_shuffle": plan.games_per_shuffle,
+            "shuffles_per_batch": plan.shuffles_per_batch,
+            "dice_stream": gk.DICE_STREAM_VERSION,
+        }
+
     for batch_id in range(plan.batch_count):
         path = _block_path(cfg, n, batch_id)
         if path.exists():
@@ -462,6 +529,41 @@ def run_cell(
                 resumed.append(batch_id)
             except Exception as exc:
                 logger.warning("block %s unusable (%s); will replay", path.name, exc)
+
+    def _resume_compact_groups(m: int) -> None:
+        """Absorb completed compact groups: all m counts-only blocks plus
+        the group metrics artifact; anything partial replays whole."""
+        if not use_compact_groups or m <= 1:
+            return
+        for lo in range(0, plan.batch_count - m + 1, m):
+            hi = lo + m
+            members = list(range(lo, hi))
+            if any(b in resumed for b in members):
+                continue  # full per-block artifacts already absorbed
+            gpath = _group_metrics_path(cfg, n, lo, hi)
+            if not gpath.exists():
+                continue
+            try:
+                sums, sq = load_group_metrics(
+                    gpath, expected_coordinates=_group_coords(lo, hi)
+                )
+                accs = [
+                    load_block_aggregate(
+                        _block_path(cfg, n, b),
+                        expected_coordinates=_expected_coords(b),
+                        allow_counts_only=True,
+                    )
+                    for b in members
+                ]
+            except Exception as exc:
+                logger.warning(
+                    "group %d..%d unusable (%s); will replay", lo, hi - 1, exc
+                )
+                continue
+            for b, acc in zip(members, accs):
+                total.merge(acc)
+                resumed.append(b)
+            total.add_metric_totals(sums, sq)
 
     if cfg.tpu.profile_dir:
         # optional jax profiler trace over the executed blocks (reference
@@ -563,6 +665,8 @@ def run_cell(
                     group_m * nsb * plan.games_per_shuffle,
                 )
 
+    _resume_compact_groups(group_m)
+
     def group_step_for(m: int, compact_: bool):
         key = ("group", m, compact_, with_rows, group_family)
         if key not in step_cache:
@@ -612,6 +716,32 @@ def run_cell(
                 step_cache[key] = jax.jit(fn)
         return step_cache[key]
 
+    def compact_group_step_for(m: int, compact_: bool):
+        key = ("cgroup", m, compact_, group_family)
+        if key not in step_cache:
+
+            def fn(p, sh):
+                return T.play_blocks_compact(
+                    spec, p, sh, family=group_family, compact=compact_,
+                    pad_multiple=pad_multiple, game_kwargs=agg_kwargs,
+                )
+
+            if cfg.tpu.aot_cache:
+                from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+                step_cache[key] = cached_compile(
+                    fn, params, jnp.zeros((m, nsb), dtype=jnp.uint32),
+                    extra_key=(
+                        f"cblk{group_family}-k{spec.k}-s{spec.n_strategies}"
+                        f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
+                        f"-p{pad_multiple}"
+                    )
+                    + ("" if compact_ else "-nocompact"),
+                )
+            else:
+                step_cache[key] = jax.jit(fn)
+        return step_cache[key]
+
     def dispatch_group(batch_ids: list[int], *, compact_: bool) -> Any:
         sh = np.stack(
             [
@@ -619,7 +749,47 @@ def run_cell(
                 for b in batch_ids
             ]
         )
+        if use_compact_groups:
+            return compact_group_step_for(len(batch_ids), compact_)(
+                params, jnp.asarray(sh)
+            )
         return group_step_for(len(batch_ids), compact_)(params, jnp.asarray(sh))
+
+    def absorb_group_compact(batch_ids: list[int], out: Any) -> None:
+        nonlocal games_done
+        try:
+            counts_rows, mlo, mhi = out
+            counts_rows = np.asarray(counts_rows)
+            mlo = np.asarray(mlo)
+            mhi = np.asarray(mhi)
+        except (jax.errors.JaxRuntimeError, RuntimeError, ValueError):
+            # device fault: replay each block serially without compaction
+            # (per-block full artifacts; resume stays consistent)
+            logger.warning(
+                "device fault in k=%d compact group %s; replaying per block "
+                "without compaction", n, batch_ids,
+            )
+            for b in batch_ids:
+                absorb_block(b, dispatch_block(b, compact_=False), retried=True)
+            return
+        lo_id, hi_id = batch_ids[0], batch_ids[-1] + 1
+        for i, b in enumerate(batch_ids):
+            acc = T.unpack_block_counts(
+                counts_rows[i], nsb, plan.games_per_shuffle, len(strategies)
+            )
+            acc.check_conservation()
+            _enqueue_block_save(b, acc, counts_only=True)
+            total.merge(acc)
+            completed.append(b)
+            games_done += nsb * plan.games_per_shuffle
+        sums, sq = T.group_metrics_from_limbs(mlo, mhi, len(strategies))
+        total.add_metric_totals(sums, sq)
+        _enqueue_group_save(lo_id, hi_id, sums, sq)
+        if progress:
+            progress(
+                f"k={n} batches {lo_id + 1}..{hi_id}/"
+                f"{plan.batch_count} ({games_done:,} games)"
+            )
 
     def absorb_group(batch_ids: list[int], out: Any) -> None:
         nonlocal games_done
@@ -832,11 +1002,20 @@ def run_cell(
                         metrics_partials[lo] = partial_raw_sums(
                             rows_table.to_pandas(), int(n)
                         )
+                elif item[0] == "group":
+                    _, lo_id, hi_id, sums, sq = item
+                    save_group_metrics(
+                        _group_metrics_path(cfg, n, lo_id, hi_id), sums, sq,
+                        coordinates=_group_coords(lo_id, hi_id),
+                    )
                 else:
-                    _, b_id, b_acc = item
+                    _, b_id, b_acc, counts_only = item
+                    coords = _expected_coords(b_id)
+                    if counts_only:
+                        coords = dict(coords, counts_only=True)
                     save_block_aggregate(
                         _block_path(cfg, n, b_id), b_acc, batch_id=b_id,
-                        coordinates=_expected_coords(b_id),
+                        coordinates=coords,
                     )
             except BaseException as exc:  # surfaced at join
                 save_errors.append(exc)
@@ -844,10 +1023,15 @@ def run_cell(
     writer = threading.Thread(target=_writer, name=f"block-writer-k{n}", daemon=True)
     writer.start()
 
-    def _enqueue_block_save(b_id: int, b_acc) -> None:
+    def _enqueue_block_save(b_id: int, b_acc, *, counts_only: bool = False) -> None:
         if save_errors:
             raise RuntimeError("block writer failed") from save_errors[0]
-        save_queue.put(("block", b_id, b_acc))
+        save_queue.put(("block", b_id, b_acc, counts_only))
+
+    def _enqueue_group_save(lo_id: int, hi_id: int, sums, sq) -> None:
+        if save_errors:
+            raise RuntimeError("block writer failed") from save_errors[0]
+        save_queue.put(("group", lo_id, hi_id, sums, sq))
 
     def _enqueue_row_shard(
         *, batch_id: int, shuffle_lo: int, shuffle_hi: int, result, seat_ids
@@ -885,23 +1069,51 @@ def run_cell(
 
     def _absorb(entry) -> None:
         if entry[0] == "group":
-            absorb_group(entry[1], entry[2])
+            if use_compact_groups:
+                absorb_group_compact(entry[1], entry[2])
+            else:
+                absorb_group(entry[1], entry[2])
         else:
             absorb_block(entry[1], entry[2])
 
     inflight: deque[tuple] = deque()
-    i = 0
-    while i < len(pending_ids):
-        if group_m > 1 and i + group_m <= len(pending_ids):
-            ids = pending_ids[i : i + group_m]
-            inflight.append(("group", ids, dispatch_group(ids, compact_=compact)))
-            i += group_m
-        else:
-            b = pending_ids[i]
-            inflight.append(("block", b, dispatch_block(b, compact_=compact)))
-            i += 1
-        if len(inflight) >= PIPELINE_BLOCK_DEPTH:
-            _absorb(inflight.popleft())
+    if use_compact_groups and group_m > 1:
+        # absolute group boundaries: a group dispatches compactly only when
+        # EVERY member is pending (a partially-resumed group replays its
+        # stragglers per block, keeping absorbed counts single-counted)
+        work: list[tuple] = []
+        pending_set = set(pending_ids)
+        for lo in range(0, plan.batch_count, group_m):
+            members = list(range(lo, min(lo + group_m, plan.batch_count)))
+            pend = [b for b in members if b in pending_set]
+            if len(pend) == len(members) == group_m:
+                work.append(("group", members))
+            else:
+                work.extend(("block", b) for b in pend)
+        for kind, payload in work:
+            if kind == "group":
+                inflight.append(
+                    ("group", payload, dispatch_group(payload, compact_=compact))
+                )
+            else:
+                inflight.append(
+                    ("block", payload, dispatch_block(payload, compact_=compact))
+                )
+            if len(inflight) >= PIPELINE_BLOCK_DEPTH:
+                _absorb(inflight.popleft())
+    else:
+        i = 0
+        while i < len(pending_ids):
+            if group_m > 1 and i + group_m <= len(pending_ids):
+                ids = pending_ids[i : i + group_m]
+                inflight.append(("group", ids, dispatch_group(ids, compact_=compact)))
+                i += group_m
+            else:
+                b = pending_ids[i]
+                inflight.append(("block", b, dispatch_block(b, compact_=compact)))
+                i += 1
+            if len(inflight) >= PIPELINE_BLOCK_DEPTH:
+                _absorb(inflight.popleft())
     while inflight:
         _absorb(inflight.popleft())
     _join_writer()

@@ -475,6 +475,133 @@ def play_and_aggregate_blocks_scanned(
     return rows
 
 
+def play_blocks_compact(
+    spec: TournamentSpec,
+    params: tuple[jax.Array, jax.Array, jax.Array],
+    shuffle_indices_2d: jax.Array,  # (m_blocks, nsb) uint32, nsb <= 128
+    *,
+    family: str = "scan",
+    compact: bool = True,
+    pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
+):
+    """Block group with a compact fetch: per-block counts, group metrics.
+
+    The (m, packed) group programs fetch ~0.99 MB *per block* (4 + 4M
+    int32 arrays of length S), and the device->host tunnel moves ~23 MB/s
+    (results/fetch_bandwidth.json) — the fetch alone was ~43 ms of every
+    145 ms production chunk. Per-block metric sums only serve resume
+    granularity (analysis needs counts per deterministic batch but metrics
+    only per cell), so this program returns:
+
+    * ``counts`` (m, 2S+3) int32 — per-block wins, completed exposures and
+      the three game totals (attempted exposures are the constant ``nsb``;
+      safety = attempted - completed);
+    * ``mlo``/``mhi`` (4*S*M,) int32 — the group's metric sums and three
+      square limbs accumulated across blocks in 16-bit carry limbs
+      (each per-block value v < 2^31 adds as ``v & 0xFFFF`` / ``v >> 16``;
+      m <= 2^15 blocks keeps both int32-exact; host recombines
+      ``lo + (hi << 16)`` into int64).
+
+    ~3.7x less fetch per block; bit-identical totals (tests assert against
+    the per-block path). Resume granularity for metrics becomes the group.
+    """
+    m, nsb = shuffle_indices_2d.shape
+    if nsb > MAX_SHUFFLES_PER_BATCH:
+        raise ValueError(
+            f"block size {nsb} exceeds exact-aggregation bound "
+            f"{MAX_SHUFFLES_PER_BATCH}"
+        )
+
+    def counts_and_metrics(agg: TournamentAggregates):
+        counts = jnp.concatenate(
+            [
+                agg.wins,
+                agg.completed_exposures,
+                agg.games_attempted[None],
+                agg.games_completed[None],
+                agg.games_safety_limit[None],
+            ]
+        )
+        metr = jnp.concatenate(
+            [
+                agg.metric_sums.ravel(),
+                agg.metric_sq_hi2.ravel(),
+                agg.metric_sq_hilo.ravel(),
+                agg.metric_sq_lo2.ravel(),
+            ]
+        )
+        return counts, metr
+
+    if family == "flat":
+        flat = shuffle_indices_2d.reshape(-1)
+        result, seat_ids = play_shuffles(
+            spec, params, flat, compact=compact, pad_multiple=pad_multiple,
+            game_kwargs=game_kwargs,
+        )
+        per_block = nsb * spec.games_per_shuffle
+        counts_rows = []
+        mlo = jnp.zeros((4 * spec.n_strategies * N_METRICS,), jnp.int32)
+        mhi = jnp.zeros_like(mlo)
+        for b in range(m):
+            lo_i = b * per_block
+            sl_res = jax.tree.map(lambda a: a[lo_i : lo_i + per_block], result)
+            agg = aggregate_from_permutation(
+                sl_res, seat_ids[lo_i : lo_i + per_block],
+                spec.n_strategies, spec.k,
+            )
+            counts, metr = counts_and_metrics(agg)
+            counts_rows.append(counts)
+            mlo = mlo + (metr & 0xFFFF)
+            mhi = mhi + (metr >> 16)
+        return jnp.stack(counts_rows), mlo, mhi
+
+    def body(carry, sh):
+        agg = play_and_aggregate(
+            spec, params, sh, compact=compact, pad_multiple=pad_multiple,
+            game_kwargs=game_kwargs,
+        )
+        counts, metr = counts_and_metrics(agg)
+        lo, hi = carry
+        return (lo + (metr & 0xFFFF), hi + (metr >> 16)), counts
+
+    zero = jnp.zeros((4 * spec.n_strategies * N_METRICS,), jnp.int32)
+    (mlo, mhi), counts = jax.lax.scan(body, (zero, zero), shuffle_indices_2d)
+    return counts, mlo, mhi
+
+
+def unpack_block_counts(
+    counts_row: np.ndarray, nsb: int, games_per_shuffle: int, n_strategies: int
+) -> "TournamentAccumulator":
+    """One compact counts row -> a counts-only block accumulator."""
+    s = n_strategies
+    acc = TournamentAccumulator(s)
+    wins = np.asarray(counts_row[:s], dtype=np.int64)
+    completed = np.asarray(counts_row[s : 2 * s], dtype=np.int64)
+    acc.wins += wins
+    acc.completed_exposures += completed
+    acc.attempted_exposures += nsb
+    acc.safety_limit_exposures += nsb - completed
+    acc.games_attempted += int(counts_row[2 * s])
+    acc.games_completed += int(counts_row[2 * s + 1])
+    acc.games_safety_limit += int(counts_row[2 * s + 2])
+    return acc
+
+
+def group_metrics_from_limbs(
+    mlo: np.ndarray, mhi: np.ndarray, n_strategies: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mlo, mhi) int32 limb sums -> int64 (metric_sums, metric_sq_sums)."""
+    total = np.asarray(mlo, dtype=np.int64) + (
+        np.asarray(mhi, dtype=np.int64) << 16
+    )
+    s, mm = n_strategies, N_METRICS
+    parts = total.reshape(4, s, mm)
+    sums = parts[0]
+    sq = parts[1] * (_SPLIT * _SPLIT) + 2 * _SPLIT * parts[2] + parts[3]
+    return sums, sq
+
+
 def play_and_aggregate_blocks_with_rows(
     spec: TournamentSpec,
     params: tuple[jax.Array, jax.Array, jax.Array],
@@ -802,6 +929,11 @@ class TournamentAccumulator:
             + 2 * _SPLIT * a.metric_sq_hilo
             + a.metric_sq_lo2
         )
+
+    def add_metric_totals(self, sums_i64: np.ndarray, sq_i64: np.ndarray) -> None:
+        """Absorb group-level int64 metric totals (compact-fetch path)."""
+        self.metric_sums += sums_i64
+        self.metric_sq_sums += sq_i64
 
     def merge(self, other: "TournamentAccumulator") -> None:
         """Absorb another accumulator (cross-block / cross-host reduction)."""

@@ -449,6 +449,7 @@ def test_grouped_rows_dispatch_bit_identical(tmp_path):
         cfg.batching.target_batches = 4
         cfg.batching.min_shuffles_per_batch = 2
         cfg.tpu.aot_cache = False
+        cfg.tpu.mesh_devices = 1  # group dispatch engages only off the mesh
         cfg.tpu.blocks_per_dispatch = m
         cfg = C.assign_config_sha(cfg)
         R.run_simulation(cfg, progress=lambda msg: None)
@@ -482,6 +483,7 @@ def test_block_group_dispatch_bit_identical(tmp_path):
         cfg.batching.target_batches = 4
         cfg.batching.min_shuffles_per_batch = 2
         cfg.tpu.aot_cache = False
+        cfg.tpu.mesh_devices = 1  # group dispatch engages only off the mesh
         cfg.tpu.blocks_per_dispatch = m
         cfg = C.assign_config_sha(cfg)
         R.run_simulation(cfg, progress=lambda msg: None)
@@ -491,3 +493,58 @@ def test_block_group_dispatch_bit_identical(tmp_path):
         assert len(blocks) == 4, blocks
     lhs, rhs = outs[1], outs[2]
     assert (lhs == rhs).all().all(), "grouped dispatch changed results"
+
+
+def test_compact_group_resume_and_replay(tmp_path):
+    """Compact-fetch group artifacts: a finished cell resumes fully from
+    counts-only blocks + group metrics; deleting one group's metrics
+    artifact replays exactly that group and reproduces identical outputs."""
+    import pyarrow.parquet as pq
+
+    def make(sub):
+        cfg = C.AppConfig()
+        cfg.data_dir = str(tmp_path / sub)
+        cfg.sim.seed = 29
+        cfg.sim.n_players_list = [2]
+        cfg.sim.expanded_metrics = True
+        cfg.sim.score_thresholds = [300]
+        cfg.sim.dice_thresholds = [2]
+        cfg.sim.smart_one_opts = [False]
+        cfg.sim.run_up_score_opts = [False]
+        cfg.sim.shuffles_per_device_batch = 2
+        cfg.screening.resolution_delta = 0.9
+        cfg.batching.target_batches = 4
+        cfg.batching.min_shuffles_per_batch = 2
+        cfg.tpu.aot_cache = False
+        cfg.tpu.mesh_devices = 1
+        cfg.tpu.blocks_per_dispatch = 2
+        return C.assign_config_sha(cfg)
+
+    cfg = make("run")
+    R.run_simulation(cfg, progress=lambda m: None)
+    first = pq.read_table(cfg.metrics_path(2)).to_pandas()
+    blocks_dir = cfg.n_players_dir(2) / "blocks"
+    groups = sorted(blocks_dir.glob("group_*_metrics.npz"))
+    assert len(groups) == 2, groups  # 4 batches in 2 compact groups
+    # blocks are counts-only (metrics live in the group artifacts)
+    from farkle_ii_tpu.simulation.runner import load_block_aggregate
+
+    with pytest.raises(ValueError, match="counts-only"):
+        load_block_aggregate(blocks_dir / "block_000000.npz")
+
+    # full resume: drop the stamp, keep all artifacts -> identical metrics
+    (cfg.results_root / "simulation.done.json").unlink()
+    R.run_simulation(cfg, progress=lambda m: None)
+    second = pq.read_table(cfg.metrics_path(2)).to_pandas()
+    assert first.equals(second)
+
+    # partial resume: drop one group's metrics artifact -> that group
+    # replays; outputs still identical
+    (cfg.results_root / "simulation.done.json").unlink()
+    groups[0].unlink()
+    groups[0].with_name(groups[0].name + ".sidecar.json").unlink()
+    R.run_simulation(cfg, progress=lambda m: None)
+    third = pq.read_table(cfg.metrics_path(2)).to_pandas()
+    assert first.equals(third)
+    ckpt = pq.read_table(cfg.checkpoint_path(2)).to_pandas()
+    assert ckpt["attempted_exposures"].sum() > 0

@@ -240,3 +240,41 @@ def test_scanned_blocks_bit_identical_to_flat_and_per_block(params):
             spec, params,
             jnp.zeros((1, T.MAX_SHUFFLES_PER_BATCH + 1), dtype=jnp.uint32),
         )
+
+
+def test_compact_group_fetch_bit_identical(params):
+    """play_blocks_compact (per-block counts + 16-bit-limb group metrics)
+    must reproduce the per-block aggregation exactly, for both program
+    families."""
+    spec = T.TournamentSpec(root_seed=37, k=2, n_strategies=24)
+    sh = jnp.arange(6, dtype=jnp.uint32).reshape(3, 2)
+
+    want = T.TournamentAccumulator(24)
+    for b in range(3):
+        want.absorb(
+            jax.jit(lambda s_: T.play_and_aggregate(spec, params, s_))(sh[b])
+        )
+
+    for family in ("scan", "flat"):
+        counts, mlo, mhi = jax.jit(
+            lambda s_: T.play_blocks_compact(spec, params, s_, family=family)
+        )(sh)
+        counts = np.asarray(counts)
+        got = T.TournamentAccumulator(24)
+        for b in range(3):
+            acc_b = T.unpack_block_counts(
+                counts[b], 2, spec.games_per_shuffle, 24
+            )
+            acc_b.check_conservation()
+            got.merge(acc_b)
+        sums, sq = T.group_metrics_from_limbs(
+            np.asarray(mlo), np.asarray(mhi), 24
+        )
+        got.add_metric_totals(sums, sq)
+        for name in ("wins", "attempted_exposures", "completed_exposures",
+                     "safety_limit_exposures", "metric_sums", "metric_sq_sums"):
+            np.testing.assert_array_equal(
+                getattr(want, name), getattr(got, name), err_msg=f"{family}:{name}"
+            )
+        assert want.games_attempted == got.games_attempted
+        assert want.games_safety_limit == got.games_safety_limit
