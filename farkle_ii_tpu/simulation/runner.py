@@ -668,7 +668,8 @@ def run_cell(
     _resume_compact_groups(group_m)
 
     def group_step_for(m: int, compact_: bool):
-        key = ("group", m, compact_, with_rows, group_family)
+        fam_full = group_family[1:] if group_family.startswith("c") else group_family
+        key = ("group", m, compact_, with_rows, fam_full)
         if key not in step_cache:
             if with_rows:
 
@@ -686,7 +687,7 @@ def run_cell(
                 # fills the pipeline deeper) — the probed envelope picks
                 play = (
                     T.play_and_aggregate_blocks_scanned
-                    if group_family == "scan"
+                    if fam_full == "scan"
                     else T.play_and_aggregate_blocks
                 )
 
@@ -706,7 +707,7 @@ def run_cell(
                         f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
                         f"-p{pad_multiple}-rows2bits"
                         if with_rows
-                        else f"blk{group_family}-k{spec.k}-s{spec.n_strategies}"
+                        else f"blk{fam_full}-k{spec.k}-s{spec.n_strategies}"
                         f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
                         f"-p{pad_multiple}"
                     )
@@ -717,12 +718,15 @@ def run_cell(
         return step_cache[key]
 
     def compact_group_step_for(m: int, compact_: bool):
-        key = ("cgroup", m, compact_, group_family)
+        # envelope probes record the compact families as "cscan"/"cflat";
+        # normalize to the play-order family the program takes
+        fam = group_family[1:] if group_family.startswith("c") else group_family
+        key = ("cgroup", m, compact_, fam)
         if key not in step_cache:
 
             def fn(p, sh):
                 return T.play_blocks_compact(
-                    spec, p, sh, family=group_family, compact=compact_,
+                    spec, p, sh, family=fam, compact=compact_,
                     pad_multiple=pad_multiple, game_kwargs=agg_kwargs,
                 )
 
@@ -732,7 +736,7 @@ def run_cell(
                 step_cache[key] = cached_compile(
                     fn, params, jnp.zeros((m, nsb), dtype=jnp.uint32),
                     extra_key=(
-                        f"cblk{group_family}-k{spec.k}-s{spec.n_strategies}"
+                        f"cblk{fam}-k{spec.k}-s{spec.n_strategies}"
                         f"-m{m}x{nsb}-t{spec.target_score}-r{spec.max_rounds}"
                         f"-p{pad_multiple}"
                     )

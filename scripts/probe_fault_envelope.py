@@ -88,35 +88,67 @@ p = S.pack_strategy_params(grid)
 params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
           jnp.asarray(p.flags))
 spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
-play = (T.play_and_aggregate_blocks_scanned if family == "scan"
-        else T.play_and_aggregate_blocks)
-fn = cached_compile(
-    lambda prm, sh: play(spec, prm, sh, compact=compact, pad_multiple=4096),
-    params, jnp.zeros((m, nsb), dtype=jnp.uint32),
-    # exact production cache key (runner.group_step_for): the probe sweep
-    # then pre-warms the executables the mega run will load
-    extra_key=f"blk{{family}}-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
-    f"-t{{spec.target_score}}-r{{spec.max_rounds}}-p4096"
-    + ("" if compact else "-nocompact"),
-)
+# "cscan"/"cflat" probe the round-4 compact-fetch group program (per-block
+# counts + group metric limbs — the production single-host path); bare
+# "scan"/"flat" keep probing the full (m, packed) fetch families
+compact_fetch = family.startswith("c")
+if compact_fetch:
+    fam = family[1:]
+    fn = cached_compile(
+        lambda prm, sh: T.play_blocks_compact(
+            spec, prm, sh, family=fam, compact=compact, pad_multiple=4096
+        ),
+        params, jnp.zeros((m, nsb), dtype=jnp.uint32),
+        # exact production cache key (runner.compact_group_step_for)
+        extra_key=f"cblk{{fam}}-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
+        f"-t{{spec.target_score}}-r{{spec.max_rounds}}-p4096"
+        + ("" if compact else "-nocompact"),
+    )
+else:
+    play = (T.play_and_aggregate_blocks_scanned if family == "scan"
+            else T.play_and_aggregate_blocks)
+    fn = cached_compile(
+        lambda prm, sh: play(spec, prm, sh, compact=compact, pad_multiple=4096),
+        params, jnp.zeros((m, nsb), dtype=jnp.uint32),
+        # exact production cache key (runner.group_step_for): the probe sweep
+        # then pre-warms the executables the mega run will load
+        extra_key=f"blk{{family}}-k{{spec.k}}-s{{spec.n_strategies}}-m{{m}}x{{nsb}}"
+        f"-t{{spec.target_score}}-r{{spec.max_rounds}}-p4096"
+        + ("" if compact else "-nocompact"),
+    )
 sh0 = 0
 def mk():
     global sh0
     a = np.arange(sh0, sh0 + m * nsb, dtype=np.uint32)
     sh0 += m * nsb
     return jnp.asarray(a.reshape(m, nsb))
-out = np.asarray(fn(params, mk()))
+
+def fetch():
+    out = fn(params, mk())
+    if compact_fetch:
+        counts, mlo, mhi = out
+        return np.asarray(counts), np.asarray(mlo), np.asarray(mhi)
+    return (np.asarray(out),)
+
+first = fetch()
 acc = T.TournamentAccumulator(len(grid))
-for b in range(m):
-    acc.absorb(T.unpack_aggregates(out[b], len(grid)))
+if compact_fetch:
+    counts, mlo, mhi = first
+    for b in range(m):
+        acc.merge(T.unpack_block_counts(counts[b], nsb, spec.games_per_shuffle, len(grid)))
+    sums, sq = T.group_metrics_from_limbs(mlo, mhi, len(grid))
+    acc.add_metric_totals(sums, sq)
+else:
+    for b in range(m):
+        acc.absorb(T.unpack_aggregates(first[0][b], len(grid)))
 acc.check_conservation()
 assert acc.games_attempted == m * nsb * spec.games_per_shuffle
 for _ in range(2):
-    np.asarray(fn(params, mk()))
+    fetch()
 timings = []
 for _ in range(5):
     t0 = time.perf_counter()
-    np.asarray(fn(params, mk()))
+    fetch()
     timings.append(time.perf_counter() - t0)
 med = sorted(timings)[2]
 print(json.dumps({{"ok": True, "games": acc.games_attempted,
