@@ -412,32 +412,20 @@ def run_cell(
     # configured chunk size with the largest measured-fault-free shape for
     # this k — chunk size never affects results (execution invariance), only
     # device utilization and the fault risk.
-    ns_cap = min(T.MAX_SHUFFLES_PER_BATCH, plan.shuffles_per_batch)
-    ns_device = min(cfg.sim.shuffles_per_device_batch, ns_cap)
     envelope = load_fault_envelope(
         cfg.tpu.fault_envelope_path, n_strategies=len(strategies)
     )
-    if envelope is not None:
-        if compact:
-            # compaction "on" means *allowed*: the fault boundary lives in
-            # the compaction path, so the envelope may pick a larger
-            # compaction-off chunk where the compacted shape hard-faults
-            shape = envelope.best_shape(int(n), cap=ns_cap)
-            if shape is not None and shape != (ns_device, compact):
-                logger.info(
-                    "k=%d: device chunk %d shuffles (compaction %s) from "
-                    "the probed fault envelope (configured %d, on)",
-                    n, shape[0], "on" if shape[1] else "off", ns_device,
-                )
-                ns_device, compact = shape
-        else:
-            probed = envelope.best_ns(int(n), compact=False, cap=ns_cap)
-            if probed is not None and probed != ns_device:
-                logger.info(
-                    "k=%d: device chunk %d shuffles from the probed fault "
-                    "envelope (configured %d)", n, probed, ns_device,
-                )
-                ns_device = probed
+    configured_ns = min(
+        cfg.sim.shuffles_per_device_batch,
+        min(T.MAX_SHUFFLES_PER_BATCH, plan.shuffles_per_batch),
+    )
+    ns_device, compact = _resolve_cell_chunk(cfg, n, plan, envelope)
+    if (ns_device, compact) != (configured_ns, cfg.tpu.straggler_compaction):
+        logger.info(
+            "k=%d: device chunk %d shuffles (compaction %s) from the probed "
+            "fault envelope (configured %d)",
+            n, ns_device, "on" if compact else "off", configured_ns,
+        )
 
     # multi-chip: shard whole shuffles over the device mesh (the production
     # analogue of the reference's process-pool shuffle fan-out,
@@ -645,25 +633,17 @@ def run_cell(
     group_m = 1
     group_family = "scan"
     nsb = plan.shuffles_per_batch
-    if n_mesh == 1 and nsb <= T.MAX_SHUFFLES_PER_BATCH:
-        cfg_m = cfg.tpu.blocks_per_dispatch
-        if cfg_m is not None:
-            group_m = max(1, int(cfg_m))
-        elif envelope is not None:
-            probed = envelope.best_block_group(
-                int(n), nsb=nsb, compact=compact, max_m=plan.batch_count,
-                floor_speed=envelope.chunk_speed(
-                    int(n), ns=ns_device, compact=compact
-                ),
+    if n_mesh == 1:
+        group_m, group_family = _resolve_cell_group(
+            cfg, n, plan, envelope, ns_device, compact
+        )
+        if group_m > 1:
+            logger.info(
+                "k=%d: %d blocks per %s dispatch (%d shuffles, %d games "
+                "per device batch)",
+                n, group_m, group_family, group_m * nsb,
+                group_m * nsb * plan.games_per_shuffle,
             )
-            if probed:
-                group_m, group_family = probed
-                logger.info(
-                    "k=%d: %d blocks per %s dispatch from the probed "
-                    "envelope (%d shuffles, %d games per device batch)",
-                    n, group_m, group_family, group_m * nsb,
-                    group_m * nsb * plan.games_per_shuffle,
-                )
 
     _resume_compact_groups(group_m)
 
@@ -1277,6 +1257,138 @@ def expanded_metrics_table(acc: T.TournamentAccumulator) -> pa.Table:
     return pa.table(cols)
 
 
+def _resolve_cell_chunk(cfg: AppConfig, n: int, plan, envelope):
+    """Envelope-resolved (ns_device, compact) for one cell (run_cell logic)."""
+    compact = cfg.tpu.straggler_compaction
+    ns_cap = min(T.MAX_SHUFFLES_PER_BATCH, plan.shuffles_per_batch)
+    ns_device = min(cfg.sim.shuffles_per_device_batch, ns_cap)
+    if envelope is not None:
+        if compact:
+            shape = envelope.best_shape(int(n), cap=ns_cap)
+            if shape is not None:
+                ns_device, compact = shape
+        else:
+            probed = envelope.best_ns(int(n), compact=False, cap=ns_cap)
+            if probed is not None:
+                ns_device = probed
+    return ns_device, compact
+
+
+def _resolve_cell_group(cfg: AppConfig, n: int, plan, envelope, ns_device, compact):
+    """Envelope-resolved (group_m, family) for one cell (run_cell logic)."""
+    group_m, group_family = 1, "scan"
+    nsb = plan.shuffles_per_batch
+    if nsb <= T.MAX_SHUFFLES_PER_BATCH:
+        cfg_m = cfg.tpu.blocks_per_dispatch
+        if cfg_m is not None:
+            group_m = max(1, int(cfg_m))
+        elif envelope is not None:
+            probed = envelope.best_block_group(
+                int(n), nsb=nsb, compact=compact, max_m=plan.batch_count,
+                floor_speed=envelope.chunk_speed(
+                    int(n), ns=ns_device, compact=compact
+                ),
+            )
+            if probed:
+                group_m, group_family = probed
+    return group_m, group_family
+
+
+def prewarm_cell_executables(cfg: AppConfig, strategies) -> None:
+    """Deserialize every cell's primary executables on a background thread.
+
+    The mega run paid ~15 s of fixed cost per cell, part of it AOT
+    deserialization serialized with the cell's own execution
+    (RESULTS.md round 3). This resolves each cell's envelope shapes with
+    the same logic run_cell uses and issues the same cached_compile calls;
+    the in-process single-flight memo (utils/aot_cache) hands the warm
+    executables to the cells when they ask. Runs while the first cell
+    computes; errors are logged and ignored (the cell compiles normally).
+    """
+    import threading
+
+    import jax as _jax
+
+    if not cfg.tpu.aot_cache or len(_jax.devices()) > 1:
+        return
+    import jax.numpy as jnp
+
+    from farkle_ii_tpu.utils import aot_cache
+
+    p = S.pack_strategy_params(strategies)
+    params = (
+        jnp.asarray(p.score_threshold),
+        jnp.asarray(p.dice_threshold),
+        jnp.asarray(p.flags),
+    )
+    envelope = load_fault_envelope(
+        cfg.tpu.fault_envelope_path, n_strategies=len(strategies)
+    )
+    pad_multiple = int(cfg.tpu.compact_pad_multiple)
+
+    def one_cell(n: int) -> None:
+        try:
+            plan = plan_tournament_workload(
+                root_seed=cfg.sim.seed,
+                k=int(n),
+                strategy_count=len(strategies),
+                resolution_delta=cfg.screening.resolution_delta,
+                confidence=cfg.screening.interval_confidence,
+                batch_count=cfg.batching.target_batches,
+                min_shuffles_per_batch=cfg.batching.min_shuffles_per_batch,
+                shuffle_cap=cfg.screening.max_shuffles_per_root_k,
+                projected_games_per_second=cfg.screening.projected_games_per_second,
+            )
+            spec = T.TournamentSpec(
+                root_seed=int(cfg.sim.seed), k=int(n), n_strategies=len(strategies)
+            )
+            ns_device, compact = _resolve_cell_chunk(cfg, n, plan, envelope)
+            # mirror run_cell's execution-tuning kwargs exactly or the
+            # jaxpr-hash cache keys will not line up
+            ratios = tuple(int(r) for r in cfg.tpu.compact_ratios)
+            cadence = int(cfg.tpu.cond_check_every)
+            agg_kwargs = (
+                {"compact_ratios": ratios, "cond_check_every": cadence}
+                if (ratios, cadence) != ((8, 64, 512), 8)
+                else None
+            )
+            _compile_step(
+                spec, params, ns_device, True, with_rows=False,
+                compact=compact, pad_multiple=pad_multiple,
+                game_kwargs=agg_kwargs,
+            )
+            group_m, group_family = _resolve_cell_group(
+                cfg, n, plan, envelope, ns_device, compact
+            )
+            if group_m > 1:
+                fam = (
+                    group_family[1:] if group_family.startswith("c")
+                    else group_family
+                )
+                nsb = plan.shuffles_per_batch
+                aot_cache.cached_compile(
+                    lambda p_, sh: T.play_blocks_compact(
+                        spec, p_, sh, family=fam, compact=compact,
+                        pad_multiple=pad_multiple, game_kwargs=agg_kwargs,
+                    ),
+                    params, jnp.zeros((group_m, nsb), dtype=jnp.uint32),
+                    extra_key=(
+                        f"cblk{fam}-k{spec.k}-s{spec.n_strategies}"
+                        f"-m{group_m}x{nsb}-t{spec.target_score}"
+                        f"-r{spec.max_rounds}-p{pad_multiple}"
+                    )
+                    + ("" if compact else "-nocompact"),
+                )
+        except Exception as exc:  # best-effort: the cell compiles normally
+            logger.info("prewarm for k=%s skipped (%s)", n, exc)
+
+    def worker() -> None:
+        for n in cfg.sim.n_players_list:
+            one_cell(int(n))
+
+    threading.Thread(target=worker, name="cell-prewarm", daemon=True).start()
+
+
 def run_simulation(
     cfg: AppConfig, *, force: bool = False, progress: Callable[[str], None] | None = None
 ) -> dict[str, Any]:
@@ -1298,6 +1410,9 @@ def run_simulation(
             blocks = cfg.n_players_dir(int(n)) / "blocks"
             if blocks.exists():
                 shutil.rmtree(blocks)
+
+    # warm every cell's executables concurrently with the first cell
+    prewarm_cell_executables(cfg, strategies)
 
     # strategy manifest (once per root)
     write_parquet_artifact_atomic(

@@ -20,12 +20,21 @@ import logging
 import os
 import pickle
 import tempfile
+import threading
 from pathlib import Path
 from typing import Any, Callable
 
 import jax
 
 logger = logging.getLogger(__name__)
+
+# In-process executable memo keyed by the full cache key. Lets a background
+# prewarm thread deserialize executables concurrently with real work and
+# hand them to the run that asks for the same program later (per-cell AOT
+# deserialization was part of the mega run's ~15 s/cell fixed cost).
+_MEMO: dict[str, Any] = {}
+_MEMO_LOCK = threading.Lock()
+_IN_FLIGHT: dict[str, threading.Event] = {}
 
 _DEFAULT_CACHE_DIR = Path(
     os.environ.get("FARKLE_AOT_CACHE", Path.home() / ".cache" / "farkle_ii_tpu" / "aot")
@@ -73,33 +82,63 @@ def cached_compile(
     key = cache_key_for_trace(traced, extra=extra_key)
     path = cache_dir / f"{key}.aotx"
 
-    if path.exists():
-        try:
-            from jax.experimental.serialize_executable import deserialize_and_load
+    # single-flight in-process memo: a concurrent identical request waits
+    # for the first one instead of deserializing/compiling twice
+    while True:
+        with _MEMO_LOCK:
+            if key in _MEMO:
+                return _MEMO[key]
+            event = _IN_FLIGHT.get(key)
+            if event is None:
+                _IN_FLIGHT[key] = threading.Event()
+                break
+        event.wait()
 
-            with open(path, "rb") as f:
-                blob, in_tree, out_tree = pickle.load(f)
-            compiled = deserialize_and_load(blob, in_tree, out_tree)
-            logger.info("aot_cache hit: %s", path.name)
-            return compiled
-        except Exception as exc:  # corrupted/incompatible cache entry
-            logger.warning("aot_cache entry %s unusable (%s); recompiling", path.name, exc)
-            try:
-                path.unlink()
-            except OSError:
-                pass
+    def _finish(compiled_obj):
+        with _MEMO_LOCK:
+            _MEMO[key] = compiled_obj
+            _IN_FLIGHT.pop(key).set()
+        return compiled_obj
 
-    compiled = traced.lower().compile()
     try:
-        from jax.experimental.serialize_executable import serialize
+        if path.exists():
+            try:
+                from jax.experimental.serialize_executable import (
+                    deserialize_and_load,
+                )
 
-        blob, in_tree, out_tree = serialize(compiled)
-        cache_dir.mkdir(parents=True, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
-        with os.fdopen(fd, "wb") as f:
-            pickle.dump((blob, in_tree, out_tree), f)
-        os.replace(tmp, path)
-        logger.info("aot_cache store: %s", path.name)
-    except Exception as exc:  # serialization unsupported on this backend
-        logger.warning("aot_cache store failed (%s); continuing uncached", exc)
-    return compiled
+                with open(path, "rb") as f:
+                    blob, in_tree, out_tree = pickle.load(f)
+                compiled = deserialize_and_load(blob, in_tree, out_tree)
+                logger.info("aot_cache hit: %s", path.name)
+                return _finish(compiled)
+            except Exception as exc:  # corrupted/incompatible cache entry
+                logger.warning(
+                    "aot_cache entry %s unusable (%s); recompiling", path.name, exc
+                )
+                try:
+                    path.unlink()
+                except OSError:
+                    pass
+
+        compiled = traced.lower().compile()
+        try:
+            from jax.experimental.serialize_executable import serialize
+
+            blob, in_tree, out_tree = serialize(compiled)
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump((blob, in_tree, out_tree), f)
+            os.replace(tmp, path)
+            logger.info("aot_cache store: %s", path.name)
+        except Exception as exc:  # serialization unsupported on this backend
+            logger.warning("aot_cache store failed (%s); continuing uncached", exc)
+        return _finish(compiled)
+    except BaseException:
+        # release waiters on failure so they retry rather than hang
+        with _MEMO_LOCK:
+            pending = _IN_FLIGHT.pop(key, None)
+            if pending is not None:
+                pending.set()
+        raise

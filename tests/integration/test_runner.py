@@ -548,3 +548,65 @@ def test_compact_group_resume_and_replay(tmp_path):
     assert first.equals(third)
     ckpt = pq.read_table(cfg.checkpoint_path(2)).to_pandas()
     assert ckpt["attempted_exposures"].sum() > 0
+
+
+def test_prewarm_keys_match_cell_keys(tmp_path, monkeypatch):
+    """The prewarm thread must request exactly the executables the cells
+    later use: record every cached_compile extra_key from a prewarmed run
+    and assert the prewarm set is a subset of the run's own compile keys
+    (a drift here silently turns prewarm into dead weight)."""
+    import threading
+
+    from farkle_ii_tpu.utils import aot_cache
+
+    seen: dict[str, list[str]] = {"prewarm": [], "cell": []}
+    real = aot_cache.cached_compile
+
+    def recording(fn, *args, extra_key="", **kwargs):
+        bucket = (
+            "prewarm"
+            if threading.current_thread().name == "cell-prewarm"
+            else "cell"
+        )
+        seen[bucket].append(extra_key)
+        return real(fn, *args, extra_key=extra_key, **kwargs)
+
+    monkeypatch.setattr(aot_cache, "cached_compile", recording)
+    # runner imports cached_compile lazily inside functions, so patching the
+    # module attribute is sufficient
+    cfg = C.AppConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.sim.seed = 31
+    cfg.sim.n_players_list = [2]
+    cfg.sim.score_thresholds = [300]
+    cfg.sim.dice_thresholds = [2]
+    cfg.sim.smart_one_opts = [False]
+    cfg.sim.run_up_score_opts = [False]
+    cfg.sim.shuffles_per_device_batch = 2
+    cfg.screening.resolution_delta = 0.9
+    cfg.batching.target_batches = 2
+    cfg.batching.min_shuffles_per_batch = 2
+    cfg.tpu.aot_cache = True
+    cfg.tpu.mesh_devices = 1
+    cfg.tpu.blocks_per_dispatch = 2
+    C.assign_config_sha(cfg)
+    # single-device requirement: prewarm no-ops on the 8-device test mesh,
+    # so drive the key-producing pieces directly instead of run_simulation
+    from farkle_ii_tpu.simulation.runner import prewarm_cell_executables
+    from farkle_ii_tpu.simulation.runner import resolve_strategies
+
+    strategies = resolve_strategies(cfg)
+    import types
+
+    fake_dev = types.SimpleNamespace(platform="cpu", device_kind="virtual")
+    monkeypatch.setattr(
+        "jax.devices", lambda *a, **k: [fake_dev]
+    )  # pretend single-device so prewarm proceeds
+    prewarm_cell_executables(cfg, strategies)
+    for t in threading.enumerate():
+        if t.name == "cell-prewarm":
+            t.join(timeout=120)
+    assert seen["prewarm"], "prewarm issued no compiles"
+    # the chunk program and the compact group program were both requested
+    assert any(key.startswith("tournament-") for key in seen["prewarm"])
+    assert any(key.startswith("cblk") for key in seen["prewarm"]), seen["prewarm"]
