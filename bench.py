@@ -77,26 +77,78 @@ def main() -> None:
 
     step = None
     used_shape: tuple[int, int, bool] | None = None
-    for (n_chunks, ns), compact in [(s, True) for s in ladder] + [
-        (s, False) for s in ladder
-    ]:
+    used_family = "blockscan"
+
+    # the round-4 production dispatch is the compact-fetch block group
+    # (per-block counts + group metric limbs); when the envelope probed it,
+    # the headline measures that exact program at its fastest probed shape
+    if envelope is not None:
+        for nsb in (128, 64):
+            probed = envelope.best_block_group(
+                k, nsb=nsb, compact=True, max_m=8, floor_speed=None
+            )
+            if not probed:
+                continue
+            m_blocks, family = probed
+            if not family.startswith("c"):
+                continue
+            fam = family[1:]
+            try:
+                compiled = cached_compile(
+                    lambda prm, sh: T.play_blocks_compact(
+                        spec, prm, sh, family=fam, compact=True,
+                        pad_multiple=4096,
+                    ),
+                    params,
+                    jnp.zeros((m_blocks, nsb), dtype=jnp.uint32),
+                    extra_key=f"cblk{fam}-k{k}-s{len(grid)}-m{m_blocks}x{nsb}"
+                    f"-t10000-r200-p4096",
+                )
+                games_per_step = m_blocks * nsb * spec.games_per_shuffle
+
+                def run(i, _c=compiled, _m=m_blocks, _nsb=nsb, _g=games_per_step):
+                    n2 = _m * _nsb
+                    sh = jnp.arange(
+                        n2 * i, n2 * (i + 1), dtype=jnp.uint32
+                    ).reshape(_m, _nsb)
+                    counts, mlo, mhi = _c(params, sh)
+                    total = int(np.asarray(counts)[:, -3].sum())
+                    np.asarray(mlo)
+                    np.asarray(mhi)
+                    assert total == _g, (total, _g)
+                    return total
+
+                for i in range(3):
+                    run(i)
+                step = run
+                used_shape = (m_blocks, nsb, True)
+                used_family = f"compact-{fam}"
+                break
+            except Exception:
+                continue
+
+    for (n_chunks, ns), compact in ([] if step is not None else (
+        [(s, True) for s in ladder] + [(s, False) for s in ladder]
+    )):
         try:
             candidate = build_block(n_chunks, ns, compact)
             games_per_step = n_chunks * ns * spec.games_per_shuffle
 
-            def run(i, _c=candidate, _n=n_chunks * ns):
+            def run(i, _c=candidate, _nc=n_chunks, _ns=ns, _g=games_per_step):
+                n2 = _nc * _ns
                 sh = jnp.arange(
-                    _n * i, _n * (i + 1), dtype=jnp.uint32
-                ).reshape(n_chunks, ns)
-                return _c(params, sh)
-
-            # warm-up (forced fetches)
-            for i in range(3 if on_accel else 1):
-                lo, hi = run(i)
+                    n2 * i, n2 * (i + 1), dtype=jnp.uint32
+                ).reshape(_nc, _ns)
+                lo, hi = _c(params, sh)
                 total = T.unpack_block_aggregates(
                     (np.asarray(lo), np.asarray(hi)), len(grid)
                 )
-                assert int(total.games_attempted) == games_per_step
+                assert int(total.games_attempted) == _g
+                return _g
+
+            # warm-up (forced fetches)
+            for i in range(3 if on_accel else 1):
+                run(i)
             step = run
             used_shape = (n_chunks, ns, compact)
             break
@@ -107,14 +159,10 @@ def main() -> None:
     if step is None:
         raise RuntimeError("no benchmark shape survived the fault ladder")
 
-    # timed steady state: dispatches pipelined, every result fetched
+    # timed steady state: every step's results fetched and verified
     n_steps = 8 if on_accel else 2
     start = time.perf_counter()
-    outs = [step(10 + i) for i in range(n_steps)]
-    total_games = 0
-    for lo, hi in outs:
-        agg = T.unpack_block_aggregates((np.asarray(lo), np.asarray(hi)), len(grid))
-        total_games += int(agg.games_attempted)
+    total_games = sum(step(10 + i) for i in range(n_steps))
     elapsed = time.perf_counter() - start
 
     games_per_sec = total_games / elapsed
@@ -142,6 +190,7 @@ def main() -> None:
                 # cross-round comparisons must be same-shape to mean anything
                 "dispatch_shape": {
                     "k": k,
+                    "family": used_family,
                     "n_chunks": used_shape[0],
                     "shuffles_per_chunk": used_shape[1],
                     "compact": used_shape[2],
