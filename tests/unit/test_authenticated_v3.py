@@ -201,3 +201,80 @@ def test_stamps_record_code_identity_and_lineage(tmp_path):
     stamp = json.loads(p.read_text())
     assert stamp["run_lineage_sha"] == "abc123"
     assert "code_identity" in stamp and "git_commit" in stamp["code_identity"]
+
+
+def test_republished_sidecar_cannot_bless_altered_bytes(artifact, stage_id, tmp_path):
+    """An attacker who alters the artifact and REGENERATES a fresh internally
+    consistent sidecar must still fail validation against the recorded
+    binding (the completion stamp pins the sidecar contract sha)."""
+    original = ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    pinned = original["sidecar_contract_sha256"]
+    pq.write_table(pa.table({"a": [9, 9, 9]}), artifact)
+    republished = ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    # the fresh sidecar is self-consistent on its own...
+    ac.validate_authenticated_artifact(artifact, expected_stage_identity=stage_id)
+    # ...but can never match the pinned contract binding
+    assert republished["sidecar_contract_sha256"] != pinned
+    with pytest.raises(ac.ArtifactMismatchError, match="expected binding"):
+        ac.validate_authenticated_artifact(
+            artifact, expected_sidecar_sha256=pinned
+        )
+
+
+def test_schema_nullability_changes_artifact_identity(tmp_path):
+    """Two parquet files with identical values but different arrow
+    nullability must carry different schema identities (a schema-level
+    tamper cannot hide behind equal values)."""
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    field_nullable = pa.schema([pa.field("x", pa.int64(), nullable=True)])
+    field_required = pa.schema([pa.field("x", pa.int64(), nullable=False)])
+    pq.write_table(pa.table({"x": [1, 2]}, schema=field_nullable), a)
+    pq.write_table(pa.table({"x": [1, 2]}, schema=field_required), b)
+    ia = ac.artifact_identity(a)
+    ib = ac.artifact_identity(b)
+    assert ia["schema_sha256"] != ib["schema_sha256"]
+    assert ia["content_sha256"] != ib["content_sha256"]
+
+
+def test_source_role_cannot_be_satisfied_by_swapped_files(tmp_path, artifact, stage_id):
+    """Swapping two validly bound upstream sources between their roles must
+    fail: bindings are per-role, not a bag of hashes."""
+    src1 = tmp_path / "rows.parquet"
+    src2 = tmp_path / "metrics.parquet"
+    pq.write_table(pa.table({"r": [1]}), src1)
+    pq.write_table(pa.table({"m": [2]}), src2)
+    ac.make_authenticated_sidecar(
+        artifact, stage_identity=stage_id,
+        sources={"rows": src1, "metrics": src2},
+    )
+    ac.validate_authenticated_artifact(
+        artifact, source_paths={"rows": src1, "metrics": src2}
+    )
+    with pytest.raises(ac.ArtifactMismatchError, match="drifted"):
+        ac.validate_authenticated_artifact(
+            artifact, source_paths={"rows": src2, "metrics": src1}
+        )
+
+
+def test_unknown_source_role_fails_closed(tmp_path, artifact, stage_id):
+    src = tmp_path / "src.parquet"
+    pq.write_table(pa.table({"s": [1]}), src)
+    ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    with pytest.raises(ac.ArtifactMismatchError, match="not bound"):
+        ac.validate_authenticated_artifact(artifact, source_paths={"rows": src})
+
+
+def test_method_contract_edit_is_detected(artifact, stage_id):
+    """Editing the recorded method contract inside the sidecar JSON (e.g.
+    claiming a different test statistic) must classify as corruption."""
+    ac.make_authenticated_sidecar(
+        artifact, stage_identity=stage_id,
+        method_contract={"kind": "wilson_ci", "confidence": 0.95},
+    )
+    sc = ac.auth_sidecar_path(artifact)
+    payload = json.loads(sc.read_text())
+    payload["method_contract"]["confidence"] = 0.5
+    sc.write_text(json.dumps(payload))
+    with pytest.raises(ac.CorruptSidecarError, match="digest"):
+        ac.validate_authenticated_artifact(artifact)
