@@ -127,9 +127,14 @@ def main() -> None:
             except Exception:
                 continue
 
-    for (n_chunks, ns), compact in ([] if step is not None else (
+    # the compact candidate races the block-scan ladder's first survivor;
+    # the faster of the two becomes the headline (never regress the metric
+    # by construction)
+    compact_candidate = (step, used_shape, used_family)
+    step = None
+    for (n_chunks, ns), compact in (
         [(s, True) for s in ladder] + [(s, False) for s in ladder]
-    )):
+    ):
         try:
             candidate = build_block(n_chunks, ns, compact)
             games_per_step = n_chunks * ns * spec.games_per_shuffle
@@ -151,13 +156,26 @@ def main() -> None:
                 run(i)
             step = run
             used_shape = (n_chunks, ns, compact)
+            used_family = "blockscan"
             break
         except AssertionError:
             raise
         except Exception:
             continue
-    if step is None:
+    if step is None and compact_candidate[0] is None:
         raise RuntimeError("no benchmark shape survived the fault ladder")
+    if step is not None and compact_candidate[0] is not None:
+        def _rate(fn, reps=3):
+            t0 = time.perf_counter()
+            g = sum(fn(30 + i) for i in range(reps))
+            return g / (time.perf_counter() - t0)
+
+        ladder_rate = _rate(step)
+        compact_rate = _rate(compact_candidate[0])
+        if compact_rate > ladder_rate:
+            step, used_shape, used_family = compact_candidate
+    elif step is None:
+        step, used_shape, used_family = compact_candidate
 
     # timed steady state: every step's results fetched and verified
     n_steps = 8 if on_accel else 2
