@@ -262,10 +262,13 @@ def _rate_for_k(k: int, grid, params, envelope) -> dict:
     )
     games_per_step = n_chunks * ns * spec.games_per_shuffle
 
-    def run(i):
+    def dispatch(i):
         n = n_chunks * ns
         sh = jnp.arange(n * i, n * (i + 1), dtype=jnp.uint32).reshape(n_chunks, ns)
-        lo, hi = compiled(params, sh)
+        return compiled(params, sh)
+
+    def fetch(out):
+        lo, hi = out
         agg = T.unpack_block_aggregates(
             (np.asarray(lo), np.asarray(hi)), len(grid)
         )
@@ -273,11 +276,12 @@ def _rate_for_k(k: int, grid, params, envelope) -> dict:
         return agg
 
     for i in range(3):  # forced-fetch warm-ups
-        run(i)
+        fetch(dispatch(i))
     start = time.perf_counter()
     n_steps = 4
-    for i in range(n_steps):
-        run(10 + i)
+    outs = [dispatch(10 + i) for i in range(n_steps)]
+    for o in outs:
+        fetch(o)
     rate = n_steps * games_per_step / (time.perf_counter() - start)
     return {
         "games_per_sec": round(rate, 1),
