@@ -292,6 +292,12 @@ class TPUConfig:
     # measured-fastest (chunk, compaction) shape per k, which may be a larger
     # compaction-off chunk where the compacted shape faults. False forces off.
     straggler_compaction: bool = True
+    # deserialize the next cell's executables on a background thread while
+    # the current cell executes. Off by default on remote-tunneled backends:
+    # measured NET-NEGATIVE there (the deserialize/trace storm contended
+    # with the first cell's execution, mega warm 275 s vs 175 s); candidates
+    # for locally attached chips where deserialization is cheap
+    prewarm_executables: bool = False
     # compacted batches are padded to a multiple of this (fault-safe shapes);
     # probe with scripts/probe_fault_envelope.py before changing
     compact_pad_multiple: int = 4096

@@ -1257,6 +1257,11 @@ def expanded_metrics_table(acc: T.TournamentAccumulator) -> pa.Table:
     return pa.table(cols)
 
 
+# run_simulation cell progress (index of the cell currently executing),
+# consumed by the one-ahead prewarm worker
+_PREWARM_PROGRESS: dict[int, int] = {}
+
+
 def _resolve_cell_chunk(cfg: AppConfig, n: int, plan, envelope):
     """Envelope-resolved (ns_device, compact) for one cell (run_cell logic)."""
     compact = cfg.tpu.straggler_compaction
@@ -1309,7 +1314,11 @@ def prewarm_cell_executables(cfg: AppConfig, strategies) -> None:
 
     import jax as _jax
 
-    if not cfg.tpu.aot_cache or len(_jax.devices()) > 1:
+    if (
+        not cfg.tpu.prewarm_executables
+        or not cfg.tpu.aot_cache
+        or len(_jax.devices()) > 1
+    ):
         return
     import jax.numpy as jnp
 
@@ -1382,10 +1391,22 @@ def prewarm_cell_executables(cfg: AppConfig, strategies) -> None:
         except Exception as exc:  # best-effort: the cell compiles normally
             logger.info("prewarm for k=%s skipped (%s)", n, exc)
 
-    def worker() -> None:
-        for n in cfg.sim.n_players_list:
-            one_cell(int(n))
+    import time as _time
 
+    def worker() -> None:
+        # skip the first cell (it compiles in the foreground) and stay at
+        # most one cell ahead of execution so deserialization never storms
+        # the tunnel the running cell needs
+        cells = [int(n) for n in cfg.sim.n_players_list]
+        for idx, n in enumerate(cells[1:], start=1):
+            while _PREWARM_PROGRESS.get(id_key) is not None and (
+                _PREWARM_PROGRESS[id_key] < idx - 1
+            ):
+                _time.sleep(0.5)
+            one_cell(n)
+
+    id_key = id(cfg)
+    _PREWARM_PROGRESS[id_key] = 0
     threading.Thread(target=worker, name="cell-prewarm", daemon=True).start()
 
 
@@ -1430,8 +1451,9 @@ def run_simulation(
     _PER_N_KEYS = {"shuffles_per_device_batch", "row_dir", "expanded_metrics",
                    "desired_sec_per_chunk", "ckpt_every_sec", "n_jobs"}
     base_cfg = cfg
-    for n in cfg.sim.n_players_list:
+    for cell_index, n in enumerate(cfg.sim.n_players_list):
         n = int(n)
+        _PREWARM_PROGRESS[id(base_cfg)] = cell_index
         overrides = base_cfg.sim.per_n.get(str(n), {})
         if overrides:
             import copy

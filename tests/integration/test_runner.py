@@ -577,7 +577,7 @@ def test_prewarm_keys_match_cell_keys(tmp_path, monkeypatch):
     cfg = C.AppConfig()
     cfg.data_dir = str(tmp_path)
     cfg.sim.seed = 31
-    cfg.sim.n_players_list = [2]
+    cfg.sim.n_players_list = [2, 3]  # prewarm skips the first cell
     cfg.sim.score_thresholds = [300]
     cfg.sim.dice_thresholds = [2]
     cfg.sim.smart_one_opts = [False]
@@ -587,6 +587,7 @@ def test_prewarm_keys_match_cell_keys(tmp_path, monkeypatch):
     cfg.batching.target_batches = 2
     cfg.batching.min_shuffles_per_batch = 2
     cfg.tpu.aot_cache = True
+    cfg.tpu.prewarm_executables = True
     cfg.tpu.mesh_devices = 1
     cfg.tpu.blocks_per_dispatch = 2
     C.assign_config_sha(cfg)
