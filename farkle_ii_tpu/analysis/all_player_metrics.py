@@ -149,10 +149,13 @@ def melt_rows_to_exposures(df: pd.DataFrame, k: int) -> pd.DataFrame:
         for suffix in BEHAVIOR_SUFFIXES:
             # positional assignment: the source frame may carry a sliced
             # (non-Range) index and silent index alignment would NaN out
-            # every unaligned row
+            # every unaligned row. float64 is mandatory: narrow integer row
+            # columns (int32 highest_turn) made the groupby square sums
+            # wrap negative past 2^31, and the published schema declares
+            # float64 sums anyway
             part[suffix] = pd.to_numeric(
                 df[f"{p}{suffix}"], errors="raise"
-            ).to_numpy()
+            ).to_numpy(dtype=np.float64)
         parts.append(part)
     long = pd.concat(parts, ignore_index=True)
     if (long["n_turns"] < 1).any() or (long["n_rounds"] < 1).any():
@@ -165,6 +168,75 @@ def build_all_player_batch_metrics(rows: pa.Table, k: int) -> pa.Table:
     return finalize_batch_metrics([partial_raw_sums(rows.to_pandas(), k)])
 
 
+def _partial_raw_sums_fast(long: pd.DataFrame) -> pd.DataFrame:
+    """Single-batch fast path: every aggregate is a bincount over strategy.
+
+    A row shard covers one (root, k, deterministic_batch) cell, so the
+    four-column group key degenerates to strategy alone and the dozen
+    pandas groupbys (~0.73 s per 44k-game shard, the row-export writer's
+    dominant cost) collapse into numpy bincounts (~30 ms). Column set,
+    order, and dtypes match the groupby path exactly; the equality test
+    pins it.
+    """
+    import numpy as np
+
+    codes, uniques = pd.factorize(long["strategy"], sort=True)
+    n = len(uniques)
+
+    def bc(values=None) -> np.ndarray:
+        if values is None:
+            return np.bincount(codes, minlength=n)
+        return np.bincount(codes, weights=values, minlength=n)
+
+    score = long["score"].to_numpy(dtype=np.float64)
+    n_turns = long["n_turns"].to_numpy(dtype=np.float64)
+    n_rounds = long["n_rounds"].to_numpy(dtype=np.float64)
+    exact = score / n_turns
+    proxy = score / n_rounds
+    tdiff = n_turns - n_rounds
+    out = {
+        "root_seed": np.repeat(long["root_seed"].iloc[0], n),
+        "k": np.repeat(long["k"].iloc[0], n),
+        "deterministic_batch_id": np.repeat(
+            long["deterministic_batch_id"].iloc[0], n
+        ),
+        "strategy": uniques,
+        "raw_player_game_exposures": bc(),
+        "raw_completed_player_game_exposures": bc(
+            long["completed"].to_numpy(dtype=np.float64)
+        ).astype(np.int64),
+        "raw_wins": bc(long["won"].to_numpy(dtype=np.float64)).astype(np.int64),
+        "raw_max_round_abort_exposures": bc(
+            long["hit_max_rounds"].to_numpy(dtype=np.float64)
+        ).astype(np.int64),
+        # score/turns melt to float64, so the groupby path sums as float —
+        # keep identical dtypes
+        "raw_final_score_sum": bc(score),
+        "raw_final_score_square_sum": bc(score**2),
+        "raw_n_turns_sum": bc(n_turns),
+        "raw_n_turns_square_sum": bc(n_turns**2),
+        "raw_turn_return_game_weighted_exact_sum": bc(exact),
+        "raw_turn_return_game_weighted_exact_square_sum": bc(exact**2),
+        "raw_turn_return_round_proxy_sum": bc(proxy),
+        "raw_turn_return_round_proxy_square_sum": bc(proxy**2),
+        "raw_turn_round_mismatch_count": bc(
+            (tdiff != 0).astype(np.float64)
+        ).astype(np.int64),
+        "raw_turn_minus_rounds_sum": bc(tdiff),
+        "raw_turn_minus_rounds_square_sum": bc(tdiff**2),
+    }
+    for suffix in BEHAVIOR_SUFFIXES:
+        col = long[suffix].to_numpy(dtype=np.float64)
+        obs = ~np.isnan(col)
+        filled = np.where(obs, col, 0.0)
+        out[f"raw_{suffix}_observations"] = bc(
+            obs.astype(np.float64)
+        ).astype(np.int64)
+        out[f"raw_{suffix}_sum"] = bc(filled)
+        out[f"raw_{suffix}_square_sum"] = bc(filled**2)
+    return pd.DataFrame(out)
+
+
 def partial_raw_sums(df: pd.DataFrame, k: int) -> pd.DataFrame:
     """Additive raw sufficient sums for one chunk of rows.
 
@@ -174,6 +246,9 @@ def partial_raw_sums(df: pd.DataFrame, k: int) -> pd.DataFrame:
     reference's per-batch accumulators.
     """
     long = melt_rows_to_exposures(df, k)
+    keys3 = long[["root_seed", "k", "deterministic_batch_id"]]
+    if len(long) and (keys3.nunique() == 1).all():
+        return _partial_raw_sums_fast(long)
 
     long["exact_return"] = long["score"] / long["n_turns"]
     long["proxy_return"] = long["score"] / long["n_rounds"]

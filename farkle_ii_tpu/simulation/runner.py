@@ -523,8 +523,8 @@ def run_cell(
         the group metrics artifact; anything partial replays whole."""
         if not use_compact_groups or m <= 1:
             return
-        for lo in range(0, plan.batch_count - m + 1, m):
-            hi = lo + m
+        for lo in range(0, plan.batch_count, m):
+            hi = min(lo + m, plan.batch_count)
             members = list(range(lo, hi))
             if any(b in resumed for b in members):
                 continue  # full per-block artifacts already absorbed
@@ -1070,7 +1070,10 @@ def run_cell(
         for lo in range(0, plan.batch_count, group_m):
             members = list(range(lo, min(lo + group_m, plan.batch_count)))
             pend = [b for b in members if b in pending_set]
-            if len(pend) == len(members) == group_m:
+            if pend and len(pend) == len(members):
+                # full groups AND the tail partial group run compactly (a
+                # per-block remainder would load two more executables per
+                # cell — measured 30+ s of deserialize/warm-up stall each)
                 work.append(("group", members))
             else:
                 work.extend(("block", b) for b in pend)
@@ -1375,19 +1378,24 @@ def prewarm_cell_executables(cfg: AppConfig, strategies) -> None:
                     else group_family
                 )
                 nsb = plan.shuffles_per_batch
-                aot_cache.cached_compile(
-                    lambda p_, sh: T.play_blocks_compact(
-                        spec, p_, sh, family=fam, compact=compact,
-                        pad_multiple=pad_multiple, game_kwargs=agg_kwargs,
-                    ),
-                    params, jnp.zeros((group_m, nsb), dtype=jnp.uint32),
-                    extra_key=(
-                        f"cblk{fam}-k{spec.k}-s{spec.n_strategies}"
-                        f"-m{group_m}x{nsb}-t{spec.target_score}"
-                        f"-r{spec.max_rounds}-p{pad_multiple}"
+                sizes = [group_m]
+                tail = plan.batch_count % group_m
+                if tail:
+                    sizes.append(tail)
+                for m_sz in sizes:
+                    aot_cache.cached_compile(
+                        lambda p_, sh: T.play_blocks_compact(
+                            spec, p_, sh, family=fam, compact=compact,
+                            pad_multiple=pad_multiple, game_kwargs=agg_kwargs,
+                        ),
+                        params, jnp.zeros((m_sz, nsb), dtype=jnp.uint32),
+                        extra_key=(
+                            f"cblk{fam}-k{spec.k}-s{spec.n_strategies}"
+                            f"-m{m_sz}x{nsb}-t{spec.target_score}"
+                            f"-r{spec.max_rounds}-p{pad_multiple}"
+                        )
+                        + ("" if compact else "-nocompact"),
                     )
-                    + ("" if compact else "-nocompact"),
-                )
         except Exception as exc:  # best-effort: the cell compiles normally
             logger.info("prewarm for k=%s skipped (%s)", n, exc)
 

@@ -232,3 +232,114 @@ def test_two_seed_helpers_synthetic(tmp_path):
     assert first == _root_lifecycle_identity(cfg_a)
     (root / "x.done.json").write_text('{"changed": 1}')
     assert _root_lifecycle_identity(cfg_a) != first
+
+
+def test_partial_raw_sums_fast_path_equals_groupby():
+    """The single-batch bincount fast path must reproduce the pandas
+    groupby aggregation exactly — values, dtypes, column order."""
+    import pandas as pd
+
+    from farkle_ii_tpu.analysis import all_player_metrics as apm
+
+    rng = np.random.default_rng(5)
+    n = 600
+    k = 3
+    completed = rng.random(n) >= 0.02
+    df = pd.DataFrame(
+        {
+            "outcome_schema_version": apm.OUTCOME_SCHEMA_VERSION,
+            "root_seed": 7,
+            "k": k,
+            "deterministic_batch_id": 4,
+            "termination_status": np.where(
+                completed, "completed", "safety_limit"
+            ),
+            "winner_seat": np.where(
+                completed,
+                np.char.add("P", rng.integers(1, k + 1, n).astype(str)),
+                None,
+            ),
+            "n_rounds": rng.integers(5, 40, n),
+        }
+    )
+    for i in range(1, k + 1):
+        df[f"P{i}_strategy"] = rng.integers(0, 12, n)
+        df[f"P{i}_score"] = rng.integers(0, 12000, n)
+        df[f"P{i}_rank"] = np.where(completed, rng.integers(1, k + 1, n), np.nan)
+        df[f"P{i}_loss_margin"] = np.where(completed, rng.integers(0, 9000, n), np.nan)
+        df[f"P{i}_n_turns"] = rng.integers(5, 41, n)
+        df[f"P{i}_hit_max_rounds"] = ~completed
+        df[f"P{i}_farkles"] = rng.integers(0, 10, n)
+        df[f"P{i}_rolls"] = rng.integers(10, 90, n)
+        df[f"P{i}_highest_turn"] = rng.integers(0, 3000, n)
+        df[f"P{i}_smart_five_uses"] = rng.integers(0, 9, n)
+        df[f"P{i}_n_smart_five_dice"] = rng.integers(0, 14, n)
+        df[f"P{i}_smart_one_uses"] = rng.integers(0, 9, n)
+        df[f"P{i}_n_smart_one_dice"] = rng.integers(0, 14, n)
+        df[f"P{i}_hot_dice"] = rng.integers(0, 6, n)
+
+    long = apm.melt_rows_to_exposures(df, k)
+    fast = apm._partial_raw_sums_fast(long)
+    # force the groupby path by pretending the batch key varies
+    slow = apm.partial_raw_sums(
+        pd.concat(
+            [df, df.assign(deterministic_batch_id=5)], ignore_index=True
+        ),
+        k,
+    )
+    slow4 = slow[slow["deterministic_batch_id"] == 4].reset_index(drop=True)
+    assert list(fast.columns) == list(slow4.columns)
+    for col in fast.columns:
+        a, b = fast[col].to_numpy(), slow4[col].to_numpy()
+        if fast[col].dtype == np.float64:
+            # summation ORDER differs (bincount vs pandas pairwise), so
+            # float columns agree to the last ulp, not bitwise — the same
+            # inherent sensitivity float partials already have to shard
+            # boundaries; integer columns must be exact
+            np.testing.assert_allclose(a, b, rtol=1e-12, err_msg=col)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=col)
+        assert fast[col].dtype == slow4[col].dtype, (
+            col, fast[col].dtype, slow4[col].dtype
+        )
+
+
+def test_behavior_square_sums_do_not_overflow_int32():
+    """Regression: int32 row columns (e.g. highest_turn) made the groupby
+    square sums wrap negative past 2^31; sums must be float64 and exact."""
+    import pandas as pd
+
+    from farkle_ii_tpu.analysis import all_player_metrics as apm
+
+    n = 3
+    df = pd.DataFrame(
+        {
+            "outcome_schema_version": apm.OUTCOME_SCHEMA_VERSION,
+            "root_seed": 1, "k": 1, "deterministic_batch_id": 0,
+            "termination_status": "completed",
+            "winner_seat": "P1",
+            "n_rounds": 10,
+            "P1_strategy": 0,
+            "P1_score": 10_000,
+            "P1_rank": 1,
+            "P1_loss_margin": 0,
+            "P1_n_turns": 10,
+            "P1_hit_max_rounds": False,
+            "P1_farkles": 1,
+            "P1_rolls": 30,
+            # int32 column whose squares exceed 2^31 when summed
+            "P1_highest_turn": pd.array([50_000] * n, dtype="int32"),
+            "P1_smart_five_uses": 0,
+            "P1_n_smart_five_dice": 0,
+            "P1_smart_one_uses": 0,
+            "P1_n_smart_one_dice": 0,
+            "P1_hot_dice": 0,
+        }
+    )
+    out = apm.partial_raw_sums(df, 1)
+    expected = float(n) * 50_000.0**2
+    assert out["raw_highest_turn_square_sum"].iloc[0] == expected
+    # the groupby fallback path must agree
+    two = pd.concat([df, df.assign(deterministic_batch_id=1)], ignore_index=True)
+    slow = apm.partial_raw_sums(two, 1)
+    assert (slow["raw_highest_turn_square_sum"] == expected).all()
