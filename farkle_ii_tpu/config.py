@@ -184,6 +184,10 @@ class SimConfig:
     expanded_metrics: bool = False
     row_dir: str | None = None
     per_n: dict[str, Any] = field(default_factory=dict)
+    # run this many (root, k) cells concurrently on host threads: overlaps
+    # per-cell fixed costs (tracing, executable loads) with device work;
+    # results are bit-identical by construction
+    cell_concurrency: int = 1
     n_jobs: int | None = None
     mp_start_method: str | None = None
     desired_sec_per_chunk: int = 10

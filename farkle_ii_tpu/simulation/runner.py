@@ -458,11 +458,9 @@ def run_cell(
     if (ratios, cadence) != ((8, 64, 512), 8):
         game_kwargs = {"compact_ratios": ratios, "cond_check_every": cadence}
     agg_kwargs = None if with_rows else game_kwargs
-    step = _compile_step(
-        spec, params, ns_device, cfg.tpu.aot_cache,
-        with_rows=with_rows, compact=compact, pad_multiple=pad_multiple,
-        game_kwargs=agg_kwargs,
-    )
+    # the chunk-shaped step compiles LAZILY via step_for: cells whose blocks
+    # are fully covered by compact groups never dispatch it, and its AOT
+    # deserialization alone costs ~10-20 s on the remote tunnel
 
     total = T.TournamentAccumulator(len(strategies))
     completed: list[int] = []
@@ -563,7 +561,7 @@ def run_cell(
 
     # compiled steps are memoized per (chunk size, compaction): re-tracing or
     # re-deserializing a cached executable per block costs seconds
-    step_cache: dict[tuple, Any] = {("chunk", ns_device, compact, False, False): step}
+    step_cache: dict[tuple, Any] = {}
 
     def step_for(
         size: int, compact_: bool, *, sharded: bool = False,
@@ -1459,29 +1457,31 @@ def run_simulation(
     _PER_N_KEYS = {"shuffles_per_device_batch", "row_dir", "expanded_metrics",
                    "desired_sec_per_chunk", "ckpt_every_sec", "n_jobs"}
     base_cfg = cfg
-    for cell_index, n in enumerate(cfg.sim.n_players_list):
-        n = int(n)
-        _PREWARM_PROGRESS[id(base_cfg)] = cell_index
-        overrides = base_cfg.sim.per_n.get(str(n), {})
-        if overrides:
-            import copy
 
-            bad = set(overrides) - _PER_N_KEYS
-            if bad:
-                raise ValueError(
-                    f"sim.per_n[{n}] may only override execution knobs "
-                    f"{sorted(_PER_N_KEYS)}; got {sorted(bad)}"
-                )
-            cfg = copy.deepcopy(base_cfg)
-            for key, value in overrides.items():
-                setattr(cfg.sim, key, value)
-        else:
-            cfg = base_cfg
+    def _cell_cfg(n: int):
+        overrides = base_cfg.sim.per_n.get(str(n), {})
+        if not overrides:
+            return base_cfg
+        import copy
+
+        bad = set(overrides) - _PER_N_KEYS
+        if bad:
+            raise ValueError(
+                f"sim.per_n[{n}] may only override execution knobs "
+                f"{sorted(_PER_N_KEYS)}; got {sorted(bad)}"
+            )
+        cell = copy.deepcopy(base_cfg)
+        for key, value in overrides.items():
+            setattr(cell.sim, key, value)
+        return cell
+
+    def _run_and_publish_cell(n: int):
+        cell = _cell_cfg(n)
         mf.append_manifest_event(
             manifest_path, "stage_start", run_id=run_id, config_sha=config_sha,
             stage="simulation", k=n,
         )
-        res = run_cell(cfg, n=n, strategies=strategies, run_id=run_id, progress=progress)
+        res = run_cell(cell, n=n, strategies=strategies, run_id=run_id, progress=progress)
         results[n] = res
         if not res.finalized:
             # multi-host worker: blocks are on the shared data plane; the
@@ -1490,7 +1490,7 @@ def run_simulation(
                 manifest_path, "stage_end", run_id=run_id, config_sha=config_sha,
                 stage="simulation", k=n, status="worker_blocks_published",
             )
-            continue
+            return
         plan = res.plan
         if res.games_per_second > 0:
             # measured-throughput runtime projection (reference
@@ -1499,21 +1499,21 @@ def run_simulation(
         plans[str(n)] = plan.to_dict()
         write_parquet_artifact_atomic(
             summary_table(res.accumulator),
-            cfg.checkpoint_path(n),
+            cell.checkpoint_path(n),
             producer="simulation",
             scope="by_k",
-            metadata={"k": n, "root_seed": cfg.sim.seed},
+            metadata={"k": n, "root_seed": cell.sim.seed},
         )
-        outputs.append(cfg.checkpoint_path(n))
-        if cfg.sim.expanded_metrics:
+        outputs.append(cell.checkpoint_path(n))
+        if cell.sim.expanded_metrics:
             write_parquet_artifact_atomic(
                 expanded_metrics_table(res.accumulator),
-                cfg.metrics_path(n),
+                cell.metrics_path(n),
                 producer="simulation",
                 scope="by_k",
-                metadata={"k": n, "root_seed": cfg.sim.seed},
+                metadata={"k": n, "root_seed": cell.sim.seed},
             )
-            outputs.append(cfg.metrics_path(n))
+            outputs.append(cell.metrics_path(n))
         mf.append_manifest_event(
             manifest_path, "stage_end", run_id=run_id, config_sha=config_sha,
             stage="simulation", k=n,
@@ -1521,7 +1521,27 @@ def run_simulation(
             games_per_second=res.games_per_second,
         )
 
-    cfg = base_cfg  # per-n clones end with the loop; identity uses the base
+    cells = [int(n) for n in cfg.sim.n_players_list]
+    workers = max(1, int(getattr(cfg.sim, "cell_concurrency", 1)))
+    if workers > 1 and len(cells) > 1:
+        # overlap one cell's host-side fixed costs (tracing, executable
+        # deserialization, setup/summary IO — measured 10-40 s per cell on
+        # the remote tunnel) with another's device dispatches. Device work
+        # serializes on the chip either way; results are bit-identical by
+        # construction (coordinate RNG + exact per-block aggregation), and
+        # the cross-thread artifact plane is already atomic/locked.
+        from concurrent.futures import ThreadPoolExecutor
+
+        logger.info("running %d cells with %d concurrent workers", len(cells), workers)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(_run_and_publish_cell, n) for n in cells]
+            for fut in futures:
+                fut.result()
+    else:
+        for n in cells:
+            _run_and_publish_cell(n)
+
+    cfg = base_cfg  # per-cell clones are function-local; identity uses the base
     if any(not r.finalized for r in results.values()):
         mf.append_manifest_event(
             manifest_path, "run_end", run_id=run_id, config_sha=config_sha,

@@ -611,3 +611,42 @@ def test_prewarm_keys_match_cell_keys(tmp_path, monkeypatch):
     # the chunk program and the compact group program were both requested
     assert any(key.startswith("tournament-") for key in seen["prewarm"])
     assert any(key.startswith("cblk") for key in seen["prewarm"]), seen["prewarm"]
+
+
+def test_concurrent_cells_bit_identical(tmp_path):
+    """sim.cell_concurrency=2 overlaps per-cell fixed costs on threads; the
+    published checkpoint and metrics artifacts must equal the sequential
+    run's exactly."""
+    import pyarrow.parquet as pq
+
+    outs = {}
+    for conc in (1, 2):
+        cfg = C.AppConfig()
+        cfg.data_dir = str(tmp_path / f"c{conc}")
+        cfg.sim.seed = 34
+        cfg.sim.n_players_list = [2, 3]
+        cfg.sim.score_thresholds = [300]
+        cfg.sim.dice_thresholds = [2]
+        cfg.sim.smart_one_opts = [False]
+        cfg.sim.run_up_score_opts = [False]
+        cfg.sim.shuffles_per_device_batch = 2
+        cfg.sim.cell_concurrency = conc
+        cfg.sim.expanded_metrics = True
+        cfg.screening.resolution_delta = 0.8
+        cfg.batching.target_batches = 3
+        cfg.batching.min_shuffles_per_batch = 2
+        cfg.tpu.aot_cache = False
+        cfg.tpu.mesh_devices = 1
+        cfg.tpu.blocks_per_dispatch = 2
+        C.assign_config_sha(cfg)
+        R.run_simulation(cfg, progress=lambda m: None)
+        outs[conc] = {
+            k: (
+                pq.read_table(cfg.checkpoint_path(k)).to_pandas(),
+                pq.read_table(cfg.metrics_path(k)).to_pandas(),
+            )
+            for k in (2, 3)
+        }
+    for k in (2, 3):
+        for i in range(2):
+            assert outs[1][k][i].equals(outs[2][k][i]), (k, i)
