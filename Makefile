@@ -3,7 +3,7 @@
 #
 # Test economics (reference Makefile gates at COV_THRESHOLD=90 with a
 # fast/slow split in .github/workflows/ci.yml):
-#   make test     — default suite, slow-marked tests excluded (< 5 min)
+#   make test     — default suite, slow-marked tests excluded (~5-6 min)
 #   make test-full — everything, including the >15 s lockstep/pipeline tests
 #   make ci       — contracts + default suite (the pre-commit loop)
 #   make ci-full  — contracts + full suite under the line-coverage gate

@@ -495,6 +495,7 @@ def test_block_group_dispatch_bit_identical(tmp_path):
     assert (lhs == rhs).all().all(), "grouped dispatch changed results"
 
 
+@pytest.mark.slow  # >30 s multi-cell runs; ci-full still runs it
 def test_compact_group_resume_and_replay(tmp_path):
     """Compact-fetch group artifacts: a finished cell resumes fully from
     counts-only blocks + group metrics; deleting one group's metrics
@@ -613,6 +614,7 @@ def test_prewarm_keys_match_cell_keys(tmp_path, monkeypatch):
     assert any(key.startswith("cblk") for key in seen["prewarm"]), seen["prewarm"]
 
 
+@pytest.mark.slow  # >30 s multi-cell runs; ci-full still runs it
 def test_concurrent_cells_bit_identical(tmp_path):
     """sim.cell_concurrency=2 overlaps per-cell fixed costs on threads; the
     published checkpoint and metrics artifacts must equal the sequential
