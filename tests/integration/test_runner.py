@@ -652,3 +652,59 @@ def test_concurrent_cells_bit_identical(tmp_path):
     for k in (2, 3):
         for i in range(2):
             assert outs[1][k][i].equals(outs[2][k][i]), (k, i)
+
+
+def test_simulation_golden_values_k3_h2h_coords(tmp_path, golden):
+    """Second golden cell: k=3 at a different root, plus pinned H2H window
+    sums at fixed coordinates — together with the k=2 golden this pins both
+    the tournament and head-to-head statistical engines bit-exactly."""
+    import pyarrow.parquet as pq
+
+    cfg = C.AppConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.sim.seed = 47
+    cfg.sim.n_players_list = [3]
+    cfg.sim.expanded_metrics = True
+    cfg.sim.score_thresholds = [300]
+    cfg.sim.dice_thresholds = [2]
+    cfg.sim.smart_one_opts = [False]
+    cfg.sim.run_up_score_opts = [False]
+    cfg.sim.shuffles_per_device_batch = 3
+    cfg.screening.resolution_delta = 0.85
+    cfg.batching.target_batches = 3
+    cfg.batching.min_shuffles_per_batch = 2
+    cfg.tpu.aot_cache = False
+    C.assign_config_sha(cfg)
+    R.run_simulation(cfg, progress=lambda m: None)
+    t = pq.read_table(cfg.checkpoint_path(3)).to_pandas().sort_values("strategy_id")
+    m = pq.read_table(cfg.metrics_path(3)).to_pandas().sort_values("strategy_id")
+
+    # H2H window sums at fixed (pair, order, attempt-range) coordinates
+    import jax.numpy as jnp
+    import numpy as np
+
+    from farkle_ii_tpu.analysis.h2h_schedule import _h2h_window_step
+
+    step = _h2h_window_step(nb=2, window=64, root_seed=47, use_aot=False)
+    out = np.asarray(
+        step(
+            jnp.asarray([0, 1], dtype=jnp.uint32),
+            jnp.asarray([0, 1], dtype=jnp.uint32),
+            jnp.arange(64, dtype=jnp.uint32),
+            jnp.asarray([300, 250], dtype=jnp.int32),
+            jnp.asarray([2, 2], dtype=jnp.int32),
+            jnp.asarray([5, 13], dtype=jnp.int32),
+            jnp.asarray([250, 300], dtype=jnp.int32),
+            jnp.asarray([2, 2], dtype=jnp.int32),
+            jnp.asarray([13, 5], dtype=jnp.int32),
+            jnp.zeros(2, dtype=jnp.int32),
+            jnp.full((2,), 128, dtype=jnp.int32),
+        )
+    )
+    golden("simulation_seed47_k3", {
+        "wins": t["wins"].astype(int).tolist(),
+        "attempted_exposures": t["attempted_exposures"].astype(int).tolist(),
+        "safety_limit_exposures": t["safety_limit_exposures"].astype(int).tolist(),
+        "winning_score_sum": m["winning_score_sum"].astype(int).tolist(),
+        "h2h_window_counts": out.astype(int).tolist(),
+    })
