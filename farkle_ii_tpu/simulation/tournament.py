@@ -302,8 +302,74 @@ def aggregate(
     )
 
 
+# Winner-metric reduction implementation for aggregate_from_permutation:
+#   "matmul" — exact MXU contraction (default): replaces the (NS, S, M)
+#              expand+gather with one systolic-array contraction. Measured
+#              equal-within-noise on the tunnel-attached v5e headline
+#              program (results/headline_ab_k5_mmagg.json vs
+#              headline_ab_k5.json — the device slope is dominated by the
+#              roll-step loop, not aggregation) but removes the largest
+#              intermediate tensor from the hot program;
+#   "gather" — the round-3 permutation-gather path (kept as the
+#              equivalence oracle; bit-identical by integer exactness).
+_METRICS_IMPL_DEFAULT = "matmul"
+
+# 7-bit limb planes cover every payload column: metric values < 2^22
+# (METRIC_LABELS bound), square products hi*hi < 2^20, hi*lo < 2^22,
+# lo*lo < 2^24 — four shifts reach bit 27.
+_MM_SHIFTS = (0, 7, 14, 21)
+
+
+def winner_metric_totals_matmul(
+    masked: jax.Array,  # (B, M) int32 winner metrics, safety rows zeroed
+    winner_sid: jax.Array,  # (B,) int32 winning strategy id (garbage rows
+    #                         allowed where masked is zero)
+    n_strategies: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Exact per-strategy metric totals as ONE MXU contraction.
+
+    The per-strategy sums ``out[s, c] = sum_b payload[b, c] * [sid_b == s]``
+    are a matmul between the winner one-hot and the payload columns. TPU
+    matmuls ride the systolic array at hundreds of TFLOPs while the
+    gather/scatter alternatives measured ~78 ms per 66k-game chunk
+    (results/agg_cost_k5.json) — but bf16 operands only carry 8 mantissa
+    bits, so exactness needs limb planes: each int32 payload column is
+    split into 7-bit limbs (values 0..127, exactly representable in bf16);
+    every per-(plane, strategy) accumulation is a sum of <= shuffles-many
+    such limbs (each strategy wins at most once per shuffle), so all
+    partial sums stay below 2^24 and float32 MXU accumulation is exact.
+    Recombination ``sum(plane << shift)`` is monotone-bounded by the true
+    int32 total, so int32 never overflows. Bit-identical to the gather
+    path; tests assert equality.
+
+    Payload columns: [metric sums, hi^2, hi*lo, lo^2] with hi/lo the
+    ``_SPLIT`` square limbs — the exact contract of
+    ``TournamentAggregates``.
+    """
+    b, m = masked.shape
+    hi = masked // _SPLIT
+    lo = masked % _SPLIT
+    payload = jnp.concatenate([masked, hi * hi, hi * lo, lo * lo], axis=1)
+    planes = jnp.concatenate(
+        [(payload >> s) & 0x7F for s in _MM_SHIFTS], axis=1
+    ).astype(jnp.bfloat16)  # (B, len(shifts)*4M)
+    onehot = (
+        winner_sid[:, None] == jnp.arange(n_strategies, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)  # (B, S)
+    acc = jax.lax.dot_general(
+        onehot,
+        planes,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (S, len(shifts)*4M)
+    acc = acc.astype(jnp.int32).reshape(n_strategies, len(_MM_SHIFTS), 4 * m)
+    tot = sum(acc[:, i, :] << s for i, s in enumerate(_MM_SHIFTS))
+    return tot[:, :m], tot[:, m : 2 * m], tot[:, 2 * m : 3 * m], tot[:, 3 * m :]
+
+
 def aggregate_from_permutation(
-    result: gk.GameResult, seat_ids: jax.Array, n_strategies: int, k: int
+    result: gk.GameResult, seat_ids: jax.Array, n_strategies: int, k: int,
+    *, metrics_impl: str | None = None,
 ) -> TournamentAggregates:
     """Permutation-structured reduction: gathers instead of scatter-adds.
 
@@ -311,8 +377,11 @@ def aggregate_from_permutation(
     seat assignment is a permutation of the grid. Inverting it turns every
     per-strategy sum into a *gather* (fast on TPU) followed by a clean
     reduction over the shuffle axis — replacing ~40 segment-sum scatters
-    that measured ~80 ms/step. Bit-identical to :func:`aggregate` (pure
-    integer sums, order-independent); tests assert equality.
+    that measured ~80 ms/step. The winner-metric part goes further: the
+    default "matmul" impl reduces it on the MXU
+    (:func:`winner_metric_totals_matmul`). Bit-identical to
+    :func:`aggregate` (pure integer sums, order-independent); tests assert
+    equality.
     """
     ns_g, _ = seat_ids.shape
     perm = seat_ids.reshape(-1, n_strategies)  # (NS, S)
@@ -337,15 +406,38 @@ def aggregate_from_permutation(
     completed_exp = gsum(completed_pos.astype(jnp.int32))
     wins = gsum(win_pos.astype(jnp.int32))
 
+    impl = metrics_impl or _METRICS_IMPL_DEFAULT
     metrics, _ = winner_metrics(result)  # (B, M)
-    masked = jnp.where(result.completed[:, None], metrics, 0).reshape(ns, g, N_METRICS)
-    # expand winner metrics to positions, zeroed off the winner's seat
-    metrics_pos = jnp.where(
-        win_pos[:, :, None], masked[:, pos_game, :], 0
-    )  # (NS, S, M)
-    gathered = jnp.take_along_axis(metrics_pos, inv[:, :, None], axis=1)
-    hi = gathered // _SPLIT
-    lo = gathered % _SPLIT
+    if impl == "matmul":
+        masked_bm = jnp.where(result.completed[:, None], metrics, 0)
+        if ns >= (1 << 24) // 127:
+            raise ValueError(
+                f"{ns} shuffles exceed the bf16-exactness bound of the "
+                "matmul metric reduction"
+            )
+        winner_sid = jnp.take_along_axis(
+            seat_ids, jnp.clip(result.winner_seat, 0, None)[:, None], axis=1
+        )[:, 0]
+        sums, sq_hi2, sq_hilo, sq_lo2 = winner_metric_totals_matmul(
+            masked_bm, winner_sid, n_strategies
+        )
+    elif impl == "gather":
+        masked = jnp.where(result.completed[:, None], metrics, 0).reshape(
+            ns, g, N_METRICS
+        )
+        # expand winner metrics to positions, zeroed off the winner's seat
+        metrics_pos = jnp.where(
+            win_pos[:, :, None], masked[:, pos_game, :], 0
+        )  # (NS, S, M)
+        gathered = jnp.take_along_axis(metrics_pos, inv[:, :, None], axis=1)
+        hi = gathered // _SPLIT
+        lo = gathered % _SPLIT
+        sums = gathered.sum(axis=0, dtype=jnp.int32)
+        sq_hi2 = (hi * hi).sum(axis=0, dtype=jnp.int32)
+        sq_hilo = (hi * lo).sum(axis=0, dtype=jnp.int32)
+        sq_lo2 = (lo * lo).sum(axis=0, dtype=jnp.int32)
+    else:
+        raise ValueError(f"unknown metrics_impl {impl!r}")
     return TournamentAggregates(
         wins=wins,
         attempted_exposures=attempted,
@@ -354,10 +446,10 @@ def aggregate_from_permutation(
         games_attempted=jnp.asarray(ns * g, dtype=jnp.int32),
         games_completed=result.completed.astype(jnp.int32).sum(),
         games_safety_limit=(~result.completed).astype(jnp.int32).sum(),
-        metric_sums=gathered.sum(axis=0, dtype=jnp.int32),
-        metric_sq_hi2=(hi * hi).sum(axis=0, dtype=jnp.int32),
-        metric_sq_hilo=(hi * lo).sum(axis=0, dtype=jnp.int32),
-        metric_sq_lo2=(lo * lo).sum(axis=0, dtype=jnp.int32),
+        metric_sums=sums,
+        metric_sq_hi2=sq_hi2,
+        metric_sq_hilo=sq_hilo,
+        metric_sq_lo2=sq_lo2,
     )
 
 

@@ -159,6 +159,12 @@ def test_permutation_aggregate_equals_generic(params):
     a.absorb(T.aggregate(result, seat_ids, 24))
     accs = {
         "perm": T.aggregate_from_permutation(result, seat_ids, 24, 3),
+        "perm-gather": T.aggregate_from_permutation(
+            result, seat_ids, 24, 3, metrics_impl="gather"
+        ),
+        "perm-matmul": T.aggregate_from_permutation(
+            result, seat_ids, 24, 3, metrics_impl="matmul"
+        ),
     }
     for label, agg in accs.items():
         b = T.TournamentAccumulator(24)
@@ -171,6 +177,33 @@ def test_permutation_aggregate_equals_generic(params):
         assert a.games_attempted == b.games_attempted
         assert a.games_completed == b.games_completed
         assert a.games_safety_limit == b.games_safety_limit
+
+
+def test_winner_metric_matmul_exact_vs_bruteforce():
+    """The MXU limb-plane metric reduction must be exactly integer,
+    including at the metric-value bound (< 2^22) and with garbage winner
+    ids on zeroed (safety) rows."""
+    rng = np.random.default_rng(11)  # test-only stream
+    b, m, s = 257, T.N_METRICS, 40
+    masked = rng.integers(0, 1 << 22, size=(b, m)).astype(np.int32)
+    masked[0] = (1 << 22) - 1  # boundary row
+    sid = rng.integers(0, s, size=b).astype(np.int32)
+    masked[5] = 0  # safety rows: payload zeroed, sid arbitrary garbage
+    sid[5] = s - 1
+    sums, hi2, hilo, lo2 = (
+        np.asarray(x)
+        for x in T.winner_metric_totals_matmul(
+            jnp.asarray(masked), jnp.asarray(sid), s
+        )
+    )
+    hi = masked // T._SPLIT
+    lo = masked % T._SPLIT
+    for arr, vals in (
+        (sums, masked), (hi2, hi * hi), (hilo, hi * lo), (lo2, lo * lo)
+    ):
+        expect = np.zeros((s, m), dtype=np.int64)
+        np.add.at(expect, sid, vals.astype(np.int64))
+        np.testing.assert_array_equal(arr.astype(np.int64), expect)
 
 
 def test_pack_unpack_aggregates_roundtrip():
