@@ -325,6 +325,17 @@ class TPUConfig:
     # multiplies throughput. None = auto from the probed fault envelope's
     # block-group speeds; 1 = per-block dispatch (round-2 behavior).
     blocks_per_dispatch: int | None = None
+    # game-kernel implementation: "xla" = the while-loop kernel with
+    # straggler compaction (ops/game_kernel.play_games), "pallas" = the
+    # gridded VMEM-resident mega-kernel (ops/pallas_kernel, tile-granular
+    # straggler isolation, no compaction fault surface), "auto" = per-k
+    # measured choice (results/impl_race.json: pallas wins from k >= 6,
+    # 1.5-1.8x at k >= 10). Execution-only: the kernels are bit-identical
+    # (tests/unit/test_pallas_kernel.py proves it on-device and interpreted).
+    game_impl: str = "auto"
+    # pallas grid tile height in 128-lane rows; 16 is the measured sweet
+    # spot (results/impl_race.json); large k needs <= 16 to fit VMEM
+    pallas_tile_rows: int = 16
 
 
 @dataclass

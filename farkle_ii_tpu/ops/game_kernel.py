@@ -55,7 +55,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from farkle_ii_tpu.ops.scoring import counts_from_faces_flat, score_counts_flat
+from farkle_ii_tpu.ops.scoring import score_packed_flat
 from farkle_ii_tpu.ops.threefry import roll_dice_words, roll_faces_1h
 
 ROLL_LIMIT = 1000
@@ -361,8 +361,16 @@ def _smart_discards_flat_prio(
     consider_score = (flags & FLAG_CONSIDER_SCORE) != 0
     consider_dice = (flags & FLAG_CONSIDER_DICE) != 0
     need_both = consider_score & consider_dice & ((flags & FLAG_REQUIRE_BOTH) != 0)
+    # candidate-loop-invariant margins: hit_score(c) is monotone in the
+    # candidate's score delta and hit_dice(c) in its discard count, so both
+    # threshold tests collapse to one compare against a precomputed margin.
+    # The consider_* gates fold into -1 sentinels (deltas/counts are >= 0,
+    # so the compare is then constant-false) — each candidate's bank test
+    # costs 5 eqns instead of the former ~10 in a VPU-issue-bound step.
     base_sa = turn_score + raw_score
     base_dl = roll_n - raw_used
+    margin_s = jnp.where(consider_score, base_sa - score_threshold, -1)
+    margin_d = jnp.where(consider_dice, dice_threshold - base_dl, -1)
 
     best_prio = jnp.full_like(raw_score, -1)
     best_d5 = jnp.zeros_like(raw_score)
@@ -371,10 +379,8 @@ def _smart_discards_flat_prio(
         for d1c in range(3):
             delta = 50 * d5c + 100 * d1c
             valid = (d5c <= sfives) & (d1c <= max_d1) & (raw_score > delta)
-            score_after = base_sa - delta
-            dice_left_after = base_dl + (d5c + d1c)
-            hit_score = consider_score & (score_after >= score_threshold)
-            hit_dice = consider_dice & (dice_left_after <= dice_threshold)
+            hit_score = delta <= margin_s  # score_after >= threshold
+            hit_dice = (d5c + d1c) <= margin_d  # dice_left_after <= threshold
             bank = jnp.where(need_both, hit_score & hit_dice, hit_score | hit_dice)
             valid &= ~bank
             prio = jnp.where(
@@ -470,12 +476,14 @@ def make_game_step(
         # Nibble-packed face counts: each active die contributes 1 << 4*face
         # to one accumulator word (counts <= 6 < 16 per face, no nibble
         # carries), replacing the 36-compare face/count matrix with ~1/3 the
-        # vector ops. The step is VPU-issue-bound, so op count is the cost.
+        # vector ops; the SWAR scorer then tests every nibble at once
+        # (ops/scoring.score_packed_flat, ~87 eqns vs ~178 for extract +
+        # score_counts_flat). The step is VPU-issue-bound, so op count is
+        # the cost.
         acc = jnp.zeros_like(roll_n)
         for i, face in enumerate(faces):
             acc = acc + jnp.where(roll_n > i, jnp.int32(1) << (face * 4), 0)
-        counts = [(acc >> (4 * f)) & 15 for f in range(6)]
-        raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
+        raw_score, raw_used, sfives, sones = score_packed_flat(acc, roll_n)
 
         # ---- smart discards ------------------------------------------------
         discards = (
@@ -797,8 +805,14 @@ def make_game_step_packed(
         n_rolls = bump(s.n_rolls, 1, active)
         rolls_this_turn = ((ctrl >> 7) & 1023) + active.astype(jnp.int32)
 
-        counts = counts_from_faces_flat(faces)
-        raw_score, raw_used, sfives, sones = score_counts_flat(counts, roll_n)
+        # faces here are pre-zeroed (0 = inactive) and 1-based: accumulate
+        # into seven nibbles (inactive dice land in nibble 0) and shift the
+        # inactive nibble out — no per-die mask needed
+        acc = jnp.zeros_like(roll_n)
+        for f in faces:
+            acc = acc + (jnp.int32(1) << (f * 4))
+        acc = acc >> 4
+        raw_score, raw_used, sfives, sones = score_packed_flat(acc, roll_n)
 
         discards = (
             _smart_discards_flat_prio if discard_impl == "prio"
@@ -1017,8 +1031,16 @@ def play_games(
     compact_take_impl: str = "partition",
     dice_scheme: str = "1h",
     discard_impl: str = "prio",
+    impl: str = "xla",
+    pallas_tile_rows: int = 16,
 ) -> GameResult:
     """Play a full batch of K-seat games to completion. Jit-compatible.
+
+    ``impl="pallas"`` routes to the gridded VMEM-resident mega-kernel
+    (ops/pallas_kernel.play_games_pallas, bit-identical; measured faster
+    from k >= 8 where the while-loop kernel's carry width dominates —
+    results/impl_race.json); every compaction knob is then irrelevant
+    (tile granularity replaces compaction).
 
     All arguments are data; B and K are static from the array shapes.
 
@@ -1033,6 +1055,21 @@ def play_games(
     wasted masked-lane work disappears.
     """
     batch, k = score_thresholds.shape
+    if impl == "pallas":
+        if dice_scheme != "1h" or discard_impl != "prio":
+            raise ValueError(
+                "pallas impl implements only the production dice_scheme='1h'"
+                f" / discard_impl='prio' (got {dice_scheme!r}/{discard_impl!r})"
+            )
+        from farkle_ii_tpu.ops.pallas_kernel import play_games_pallas
+
+        return play_games_pallas(
+            game_key_data, score_thresholds, dice_thresholds, flags,
+            target_score=target_score, max_rounds=max_rounds,
+            tile_rows=pallas_tile_rows,
+        )
+    if impl != "xla":
+        raise ValueError(f"unknown game-kernel impl {impl!r}")
     pad_multiple = _COMPACT_MIN_BATCH if pad_multiple is None else int(pad_multiple)
     use_packed = packed and packed_eligible(k, max_rounds)
     if use_packed:

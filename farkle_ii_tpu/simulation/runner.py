@@ -66,6 +66,30 @@ _PEER_BLOCK_TIMEOUT_S = 3600.0
 SIM_STATE_VERSION = 1
 
 
+# smallest k at which the gridded pallas mega-kernel beats the XLA
+# while-loop kernel on v5e (results/impl_race.json: XLA wins k <= 5,
+# pallas wins from k = 6 — 1.35x at k=8, 1.5x at k=10/12, and 1.8x at
+# k=12 when the batch is production-sized, /tmp -> results/impl_race.json)
+PALLAS_MIN_K = 6
+
+
+def resolve_game_impl(configured: str, k: int) -> str:
+    """Per-k game-kernel implementation under ``tpu.game_impl``.
+
+    "auto" picks the measured-faster kernel for the player count;
+    explicit "xla"/"pallas" force it. Execution-only — the kernels are
+    bit-identical (tests/unit/test_pallas_kernel.py).
+    """
+    if configured == "auto":
+        # Mosaic kernels only compile for real TPU backends; CPU (including
+        # the virtual test meshes) always takes the XLA kernel
+        on_tpu = jax.devices()[0].platform != "cpu"
+        return "pallas" if on_tpu and k >= PALLAS_MIN_K else "xla"
+    if configured not in ("xla", "pallas"):
+        raise ValueError(f"unknown tpu.game_impl {configured!r}")
+    return configured
+
+
 def resolve_strategies(cfg: AppConfig) -> list[S.ThresholdStrategy]:
     """Materialize the configured strategy grid with deterministic ids."""
     return S.build_strategy_grid(
@@ -457,6 +481,16 @@ def run_cell(
     cadence = int(cfg.tpu.cond_check_every)
     if (ratios, cadence) != ((8, 64, 512), 8):
         game_kwargs = {"compact_ratios": ratios, "cond_check_every": cadence}
+    # per-k kernel implementation: the gridded pallas mega-kernel beats
+    # the while-loop kernel from k >= PALLAS_MIN_K (results/impl_race.json
+    # — 1.5-1.8x at k >= 10: VMEM residency removes the wide-carry HBM
+    # traffic and per-op launch overhead that grow with seat count).
+    # Execution-only; kernels are bit-identical at every k (impl_race
+    # asserts winners).
+    if resolve_game_impl(cfg.tpu.game_impl, n) == "pallas":
+        game_kwargs = dict(game_kwargs or {})
+        game_kwargs["impl"] = "pallas"
+        game_kwargs["pallas_tile_rows"] = int(cfg.tpu.pallas_tile_rows)
     agg_kwargs = None if with_rows else game_kwargs
     # the chunk-shaped step compiles LAZILY via step_for: cells whose blocks
     # are fully covered by compact groups never dispatch it, and its AOT
