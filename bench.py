@@ -85,7 +85,7 @@ def main() -> None:
     if envelope is not None:
         for nsb in (128, 64):
             probed = envelope.best_block_group(
-                k, nsb=nsb, compact=True, max_m=8, floor_speed=None
+                k, nsb=nsb, compact=True, max_m=32, floor_speed=None
             )
             if not probed:
                 continue
@@ -236,55 +236,99 @@ def main() -> None:
                     "games_per_step": used_shape[0] * used_shape[1] * spec.games_per_shuffle,
                 },
                 "per_k_games_per_sec": per_k,
+                # tunnel-independent kernel rate at the headline k, from the
+                # per-k scan-depth slope (excludes the 33-40 ms dispatch and
+                # the ~23 MB/s fetch — VERDICT r4 #4)
+                "device_games_per_sec": (per_k.get(str(k)) or {}).get(
+                    "device_games_per_sec"
+                ),
             }
         )
     )
 
 
 def _rate_for_k(k: int, grid, params, envelope) -> dict:
-    """Steady-state games/s for one player count at its best probed shape."""
+    """Steady-state games/s for one player count at its best probed shape.
+
+    Uses the production per-k kernel impl (runner.resolve_game_impl:
+    pallas from k >= 6). Also reports ``device_games_per_sec`` derived
+    from the scan-depth slope — timing scans of N and 2N chunks and taking
+    (t(2N) - t(N)) / N as the pure device per-chunk cost excludes the
+    tunnel's 33-40 ms dispatch and the fetch, so kernel progress is
+    visible round over round even when the tunnel noise exceeds it
+    (round-4 verdict: <20% kernel effects were invisible in wall rates).
+    """
+    from farkle_ii_tpu.simulation.runner import resolve_game_impl
     from farkle_ii_tpu.utils.aot_cache import cached_compile
 
     shape = envelope.best_shape(k, cap=128)
     if shape is None:
         return {"error": "no probed-ok shape"}
     ns, compact = shape
+    impl = resolve_game_impl("auto", k)
+    gkw = (
+        {"impl": "pallas", "pallas_tile_rows": 16} if impl == "pallas" else None
+    )
     spec = T.TournamentSpec(root_seed=42, k=k, n_strategies=len(grid))
     # scan enough chunks per dispatch that per-dispatch overhead amortizes
     # (the inner chunk keeps the probed-safe (k, ns) batch geometry)
     n_chunks = max(1, -(-262_144 // (ns * spec.games_per_shuffle)))
-    compiled = cached_compile(
-        lambda prm, sh: T.play_and_aggregate_block(
-            spec, prm, sh, compact=compact
-        ),
-        params, jnp.arange(n_chunks * ns, dtype=jnp.uint32).reshape(n_chunks, ns),
-        extra_key=f"bench-perk-k{k}-{n_chunks}x{ns}" + ("" if compact else "-nc"),
-    )
-    games_per_step = n_chunks * ns * spec.games_per_shuffle
 
-    def dispatch(i):
-        n = n_chunks * ns
-        sh = jnp.arange(n * i, n * (i + 1), dtype=jnp.uint32).reshape(n_chunks, ns)
-        return compiled(params, sh)
-
-    def fetch(out):
-        lo, hi = out
-        agg = T.unpack_block_aggregates(
-            (np.asarray(lo), np.asarray(hi)), len(grid)
+    def build(depth: int):
+        return cached_compile(
+            lambda prm, sh: T.play_and_aggregate_block(
+                spec, prm, sh, compact=compact, game_kwargs=gkw
+            ),
+            params, jnp.arange(depth * ns, dtype=jnp.uint32).reshape(depth, ns),
+            extra_key=f"bench-perk-k{k}-{depth}x{ns}-{impl}"
+            + ("" if compact else "-nc"),
         )
-        assert int(agg.games_attempted) == games_per_step
-        return agg
 
+    def make_runner(depth: int):
+        compiled = build(depth)
+        games = depth * ns * spec.games_per_shuffle
+
+        def dispatch(i):
+            n = depth * ns
+            sh = jnp.arange(n * i, n * (i + 1), dtype=jnp.uint32).reshape(
+                depth, ns
+            )
+            return compiled(params, sh)
+
+        def fetch(out):
+            lo, hi = out
+            agg = T.unpack_block_aggregates(
+                (np.asarray(lo), np.asarray(hi)), len(grid)
+            )
+            assert int(agg.games_attempted) == games
+            return agg
+
+        return dispatch, fetch, games
+
+    d1, f1, games1 = make_runner(n_chunks)
+    d2, f2, games2 = make_runner(2 * n_chunks)
     for i in range(3):  # forced-fetch warm-ups
-        fetch(dispatch(i))
-    start = time.perf_counter()
-    n_steps = 4
-    outs = [dispatch(10 + i) for i in range(n_steps)]
-    for o in outs:
-        fetch(o)
-    rate = n_steps * games_per_step / (time.perf_counter() - start)
+        f1(d1(i))
+    f2(d2(0))
+    f2(d2(1))
+
+    def timed(dis, fet, n_steps, base):
+        start = time.perf_counter()
+        outs = [dis(base + i) for i in range(n_steps)]
+        for o in outs:
+            fet(o)
+        return (time.perf_counter() - start) / n_steps
+
+    t1 = timed(d1, f1, 4, 10)
+    t2 = timed(d2, f2, 2, 20)
+    rate = games1 / t1
+    slope = (t2 - t1) / n_chunks  # seconds per chunk, device-only
+    chunk_games = ns * spec.games_per_shuffle
+    device_rate = chunk_games / slope if slope > 0 else None
     return {
         "games_per_sec": round(rate, 1),
+        "device_games_per_sec": round(device_rate, 1) if device_rate else None,
+        "impl": impl,
         "n_chunks": n_chunks,
         "shuffles_per_chunk": ns,
         "compact": compact,

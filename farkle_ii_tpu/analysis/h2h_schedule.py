@@ -55,13 +55,16 @@ logger = logging.getLogger(__name__)
 # cfg.tpu.h2h_games_per_dispatch (0 = auto from the probed fault envelope,
 # scripts/probe_fault_envelope.py --h2h-batches)
 _H2H_GAMES_PER_DISPATCH = 16384
-# ceiling on the envelope-derived auto choice: the probes time a FLAT
+# ceiling on the FLAT-probe-derived auto choice: the flat probes time a
 # play_games batch, but execution compiles the fused attempt-window program
 # ((blocks, window) + stop-at-target scan) — a 1,048,576-game auto cap
 # produced a window program whose remote compile crashed the TPU backend
-# (UNAVAILABLE after ~25 min) even though the flat batch probed clean at
-# 2.79M games/s. Until window-shaped probes exist, bound auto at 4x the
-# production-proven 16,384 cap (probed flat: 65,536 -> 1.18M games/s).
+# (UNAVAILABLE after ~25 min) even though the flat batch probed clean.
+# Window-shaped probes EXIST since round 4 (envelope ``h2h_window_probes``,
+# probed ascending up to 512x2048 at 5.08M games/s) and execution
+# auto-selects its window shape from them (see ``execute_h2h`` window
+# resolution); this cap only bounds the legacy flat-probe fallback when no
+# window probe is available.
 _H2H_AUTO_CAP = 65536
 
 

@@ -188,6 +188,11 @@ class SimConfig:
     # per-cell fixed costs (tracing, executable loads) with device work;
     # results are bit-identical by construction
     cell_concurrency: int = 1
+    # parquet row-shard writer threads (row-export path only): each batch id
+    # pins to one worker, preserving the per-batch "rows before block npz"
+    # resume invariant; ~120k games/s per writer measured, so the default
+    # keeps the writers off the row path's critical path
+    row_writer_threads: int = 4
     n_jobs: int | None = None
     mp_start_method: str | None = None
     desired_sec_per_chunk: int = 10

@@ -182,6 +182,57 @@ def sharded_packed_step(
     return jax.jit(step)
 
 
+def sharded_compact_group_step(
+    spec: TournamentSpec, mesh: Mesh, *, family: str = "scan",
+    compact: bool = True, pad_multiple: int | None = None,
+    game_kwargs: dict | None = None,
+):
+    """Multi-chip compact-fetch block group: the production dispatch unit.
+
+    Shards the ``(m, nsb)`` group's shuffle axis over the mesh: each device
+    plays its ``nsb / n_devices`` shuffles of every block through
+    ``play_blocks_compact`` and the three outputs ride ICI once per group —
+    per-block counts and both metric limb vectors are sums over shuffles,
+    so ``psum`` of device partials is the same associative integer addition
+    the single-device program performs (limb decomposition is
+    sum-preserving under any grouping; ``lo + (hi << 16)`` recombines to
+    the exact total). Bit-identical to the single-device group for any
+    device count — asserted by tests and by ``__graft_entry__.dryrun_multichip``.
+    """
+    from farkle_ii_tpu.simulation.tournament import play_blocks_compact
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, SHUFFLE_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,  # see sharded_play_and_aggregate
+    )
+    def run(st, dt, fl, shuffles_local):
+        counts, mlo, mhi = play_blocks_compact(
+            spec, (st, dt, fl), shuffles_local, family=family,
+            compact=compact, pad_multiple=pad_multiple,
+            game_kwargs=game_kwargs,
+        )
+        return (
+            jax.lax.psum(counts, SHUFFLE_AXIS),
+            jax.lax.psum(mlo, SHUFFLE_AXIS),
+            jax.lax.psum(mhi, SHUFFLE_AXIS),
+        )
+
+    def step(params, shuffle_indices_2d):
+        st, dt, fl = params
+        n_dev = mesh.devices.size
+        if shuffle_indices_2d.shape[1] % n_dev != 0:
+            raise ValueError(
+                f"group block span of {shuffle_indices_2d.shape[1]} not "
+                f"divisible by {n_dev} devices"
+            )
+        return run(st, dt, fl, shuffle_indices_2d)
+
+    return jax.jit(step)
+
+
 def sharded_rows_step(
     spec: TournamentSpec, mesh: Mesh, *, compact: bool = True,
     pad_multiple: int | None = None,

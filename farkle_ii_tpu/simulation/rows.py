@@ -10,6 +10,7 @@ stable seat-order tie-breaking, enforced by :func:`validate_rows_table`
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import numpy as np
@@ -183,6 +184,29 @@ def validate_rows_table(table: pa.Table) -> None:
             raise ValueError("safety rows cannot have winning_score")
 
 
+@functools.lru_cache(maxsize=64)
+def _fingerprint_jit(purpose: int, root_seed: int, k: int):
+    """Jitted fingerprint kernel per (purpose, root_seed, k).
+
+    The eager fold-in chain re-traced ~12 vmapped hashes per call and was
+    ~80% of every warm row-shard write (round-5 profile); jitting it (and
+    re-using the executable across the run's identical chunk shapes) makes
+    the fingerprint columns a sub-millisecond afterthought.
+    """
+    import jax
+
+    from farkle_ii_tpu.ops import rng as _rng
+
+    def fn(shuffle_index, game_index):
+        keys = _rng.vector_coordinate_keys(
+            purpose, root_seed=root_seed, k=k,
+            shuffle_index=shuffle_index, game_index=game_index,
+        )
+        return jax.random.key_data(keys)[..., 0]
+
+    return jax.jit(fn)
+
+
 def coordinate_fingerprints(
     purpose: int,
     *,
@@ -194,19 +218,21 @@ def coordinate_fingerprints(
     """Vectorized uint32 diagnostic fingerprints for provenance columns.
 
     Mirror of the reference's reduced ``coordinate_seed`` scalars
-    (utils/random.py:191) — never used as RNG roots.
+    (utils/random.py:191) — never used as RNG roots. Always computed on
+    the host CPU backend: these are provenance columns on the row-export
+    path, and a remote accelerator round trip per shard would dwarf the
+    write itself.
     """
     import jax
     import jax.numpy as jnp
 
-    from farkle_ii_tpu.ops import rng as _rng
-
-    keys = _rng.vector_coordinate_keys(
-        purpose,
-        root_seed=root_seed,
-        k=k,
-        shuffle_index=jnp.asarray(shuffle_index, dtype=jnp.uint32),
-        game_index=jnp.asarray(game_index, dtype=jnp.uint32),
-    )
-    data = np.asarray(jax.random.key_data(keys))
-    return data[..., 0].astype(np.int64)
+    fn = _fingerprint_jit(int(purpose), int(root_seed), int(k))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        data = np.asarray(
+            fn(
+                jnp.asarray(shuffle_index, dtype=jnp.uint32),
+                jnp.asarray(game_index, dtype=jnp.uint32),
+            )
+        )
+    return data.astype(np.int64)

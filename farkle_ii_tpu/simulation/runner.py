@@ -523,9 +523,10 @@ def run_cell(
     # aggregate-only path; group boundaries are ABSOLUTE (batch ids
     # [g*m, (g+1)*m)) so resume and dispatch always agree on membership.
     host_index, host_count = host_partition()
-    use_compact_groups = (
-        not with_rows and host_count == 1 and n_mesh == 1
-    )
+    # round-5: the compact-group dispatch also runs sharded — each device
+    # plays nsb/n_mesh shuffles of every block and the three outputs psum
+    # over ICI (parallel/mesh.sharded_compact_group_step, bit-identical)
+    use_compact_groups = not with_rows and host_count == 1
 
     def _group_coords(lo: int, hi: int) -> dict:
         return {
@@ -665,9 +666,12 @@ def run_cell(
     group_m = 1
     group_family = "scan"
     nsb = plan.shuffles_per_batch
-    if n_mesh == 1:
+    if n_mesh == 1 or (use_compact_groups and nsb % n_mesh == 0):
+        # sharded compact groups split each block's shuffles across the
+        # mesh, so the per-device batch is smaller than the probed
+        # single-device geometry (safe side of the fault envelope)
         group_m, group_family = _resolve_cell_group(
-            cfg, n, plan, envelope, ns_device, compact
+            cfg, n, plan, envelope, ns_device, compact, with_rows=with_rows
         )
         if group_m > 1:
             logger.info(
@@ -733,8 +737,18 @@ def run_cell(
         # envelope probes record the compact families as "cscan"/"cflat";
         # normalize to the play-order family the program takes
         fam = group_family[1:] if group_family.startswith("c") else group_family
-        key = ("cgroup", m, compact_, fam)
+        key = ("cgroup", m, compact_, fam, n_mesh > 1)
         if key not in step_cache:
+            if n_mesh > 1:
+                from farkle_ii_tpu.parallel.mesh import (
+                    sharded_compact_group_step,
+                )
+
+                step_cache[key] = sharded_compact_group_step(
+                    spec, mesh, family=fam, compact=compact_,
+                    pad_multiple=pad_multiple, game_kwargs=agg_kwargs,
+                )
+                return step_cache[key]
 
             def fn(p, sh):
                 return T.play_blocks_compact(
@@ -989,7 +1003,15 @@ def run_cell(
     import queue as queue_mod
     import threading
 
-    save_queue: queue_mod.Queue = queue_mod.Queue(maxsize=16)
+    # writer pool: row shards measured ~120k games/s per writer after the
+    # jitted-fingerprint fix, so the rows path shards the writing across
+    # threads (Arrow releases the GIL). Per-batch FIFO is preserved by
+    # pinning every batch id to one worker — the "rows published before the
+    # block npz" resume invariant holds per batch, which is all it needs.
+    n_writers = max(1, int(cfg.sim.row_writer_threads)) if with_rows else 1
+    save_queues: list[queue_mod.Queue] = [
+        queue_mod.Queue(maxsize=16) for _ in range(n_writers)
+    ]
     save_errors: list[BaseException] = []
     # per-shard unconditional sufficient-statistic partials, computed on the
     # writer thread from the in-memory device row buffers (shuffle_lo -> df);
@@ -997,7 +1019,7 @@ def run_cell(
     emit_metrics = with_rows and bool(cfg.sim.emit_batch_metrics)
     metrics_partials: dict[int, Any] = {}
 
-    def _writer() -> None:
+    def _writer(save_queue: queue_mod.Queue) -> None:
         while True:
             item = save_queue.get()
             if item is None:
@@ -1036,32 +1058,47 @@ def run_cell(
             except BaseException as exc:  # surfaced at join
                 save_errors.append(exc)
 
-    writer = threading.Thread(target=_writer, name=f"block-writer-k{n}", daemon=True)
-    writer.start()
+    writers = [
+        threading.Thread(
+            target=_writer, args=(q,), name=f"block-writer-k{n}-{i}",
+            daemon=True,
+        )
+        for i, q in enumerate(save_queues)
+    ]
+    for w in writers:
+        w.start()
+
+    def _queue_for(b_id: int) -> queue_mod.Queue:
+        return save_queues[b_id % n_writers]
 
     def _enqueue_block_save(b_id: int, b_acc, *, counts_only: bool = False) -> None:
         if save_errors:
             raise RuntimeError("block writer failed") from save_errors[0]
-        save_queue.put(("block", b_id, b_acc, counts_only))
+        _queue_for(b_id).put(("block", b_id, b_acc, counts_only))
 
     def _enqueue_group_save(lo_id: int, hi_id: int, sums, sq) -> None:
         if save_errors:
             raise RuntimeError("block writer failed") from save_errors[0]
-        save_queue.put(("group", lo_id, hi_id, sums, sq))
+        _queue_for(lo_id).put(("group", lo_id, hi_id, sums, sq))
 
     def _enqueue_row_shard(
         *, batch_id: int, shuffle_lo: int, shuffle_hi: int, result, seat_ids
     ) -> None:
-        # FIFO with the block save: enqueued before its block's npz, so the
-        # single writer durably publishes the shard first and a resume never
-        # sees a completed block whose rows are missing
+        # FIFO with the block save: enqueued before its block's npz on the
+        # SAME per-batch worker, so the shard is durably published before a
+        # resume can see the completed block (per-batch ordering is the
+        # whole invariant; cross-batch order is free)
         if save_errors:
             raise RuntimeError("block writer failed") from save_errors[0]
-        save_queue.put(("rows", batch_id, shuffle_lo, shuffle_hi, result, seat_ids))
+        _queue_for(batch_id).put(
+            ("rows", batch_id, shuffle_lo, shuffle_hi, result, seat_ids)
+        )
 
     def _join_writer() -> None:
-        save_queue.put(None)
-        writer.join()
+        for q in save_queues:
+            q.put(None)
+        for w in writers:
+            w.join()
         if save_errors:
             raise RuntimeError("block writer failed") from save_errors[0]
 
@@ -1314,14 +1351,31 @@ def _resolve_cell_chunk(cfg: AppConfig, n: int, plan, envelope):
     return ns_device, compact
 
 
-def _resolve_cell_group(cfg: AppConfig, n: int, plan, envelope, ns_device, compact):
-    """Envelope-resolved (group_m, family) for one cell (run_cell logic)."""
+def _resolve_cell_group(
+    cfg: AppConfig, n: int, plan, envelope, ns_device, compact,
+    *, with_rows: bool = False,
+):
+    """Envelope-resolved (group_m, family) for one cell (run_cell logic).
+
+    The rows path resolves against the separately probed rows-group family
+    (``rows_group_probes``): the row-export program differs from the
+    aggregate-only groups (row packing + a much larger fetch), so
+    aggregate probes do not transfer — the round-4 gap where the plan's
+    43-shuffle batches matched no probed shape and rows fell back to
+    16-shuffle chunks at ~25k games/s.
+    """
     group_m, group_family = 1, "scan"
     nsb = plan.shuffles_per_batch
     if nsb <= T.MAX_SHUFFLES_PER_BATCH:
         cfg_m = cfg.tpu.blocks_per_dispatch
         if cfg_m is not None:
             group_m = max(1, int(cfg_m))
+        elif with_rows and envelope is not None:
+            m = envelope.best_rows_group(
+                int(n), nsb=nsb, max_m=plan.batch_count
+            )
+            if m:
+                group_m = m
         elif envelope is not None:
             probed = envelope.best_block_group(
                 int(n), nsb=nsb, compact=compact, max_m=plan.batch_count,

@@ -47,6 +47,11 @@ class FaultEnvelope:
     # family): (nb_blocks, window) -> games/s; flat h2h probes do NOT
     # transfer to this family (tests/FAILURE_NOTES.md)
     h2h_windows: dict[tuple[int, int], float] = None  # type: ignore[assignment]
+    # probed row-export block groups (play_and_aggregate_blocks_with_rows,
+    # bit-packed rows): (k, m, nsb) -> games/s. A distinct program family
+    # from the aggregate-only groups — the fault boundary tracks the
+    # program, so aggregate probes do not transfer to the rows path.
+    rows_groups: dict[tuple[int, int, int], float] = None  # type: ignore[assignment]
 
     def is_probed_ok(self, k: int, ns: int, compact: bool) -> bool:
         return (int(k), int(ns), bool(compact)) in self.ok_shapes
@@ -136,6 +141,21 @@ class FaultEnvelope:
         if floor_speed is not None and speed <= floor_speed:
             return None
         return m, fam
+
+    def best_rows_group(self, k: int, *, nsb: int, max_m: int) -> int | None:
+        """Fastest probed-safe rows-group size m for ``(k, nsb)``.
+
+        None when the rows program was never probed at this block shape —
+        the runner then keeps its per-chunk row dispatch.
+        """
+        timed = [
+            (speed, m)
+            for (kk, m, bb), speed in (self.rows_groups or {}).items()
+            if kk == int(k) and bb == int(nsb) and m <= int(max_m)
+        ]
+        if not timed:
+            return None
+        return max(timed)[1]
 
     def best_h2h_batch(self, *, cap: int | None = None) -> int | None:
         """Fastest probed-fault-free 2-seat H2H dispatch batch.
@@ -227,6 +247,13 @@ def load_fault_envelope(
             for pr in data.get("h2h_window_probes", [])
             if pr.get("ok") and pr.get("games_per_sec")
         }
+        rows_groups = {
+            (int(pr["k"]), int(pr["m"]), int(pr["nsb"])): float(
+                pr["games_per_sec"]
+            )
+            for pr in data.get("rows_group_probes", [])
+            if pr.get("ok") and pr.get("games_per_sec")
+        }
     except (json.JSONDecodeError, KeyError, TypeError, ValueError) as exc:
         logger.warning("fault envelope %s unusable (%s); ignoring", p, exc)
         return None
@@ -251,4 +278,5 @@ def load_fault_envelope(
         h2h_speeds=h2h_speeds,
         h2h_ok=h2h_ok,
         h2h_windows=h2h_windows,
+        rows_groups=rows_groups,
     )

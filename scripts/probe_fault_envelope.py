@@ -42,9 +42,14 @@ params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
 spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
 # the production chunk compile (same AOT cache key the runner uses, so a
 # probe sweep also pre-warms the production executable cache); faults happen
-# at execution, never at compile, so the cache does not mask them
+# at execution, never at compile, so the cache does not mask them. The
+# game-kernel impl matches production's per-k auto choice (pallas from
+# PALLAS_MIN_K) — the fault boundary tracks the program.
+gkw = None
+if R.resolve_game_impl("auto", k) == "pallas":
+    gkw = {{"impl": "pallas", "pallas_tile_rows": 16}}
 step = R._compile_step(spec, params, ns, True, with_rows=False,
-                       compact=compact, pad_multiple=4096)
+                       compact=compact, pad_multiple=4096, game_kwargs=gkw)
 out = step(params, jnp.arange(ns, dtype=jnp.uint32))
 acc = T.TournamentAccumulator(len(grid))
 acc.absorb(T.unpack_aggregates(np.asarray(out), len(grid)))
@@ -92,11 +97,17 @@ spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
 # counts + group metric limbs — the production single-host path); bare
 # "scan"/"flat" keep probing the full (m, packed) fetch families
 compact_fetch = family.startswith("c")
+# production per-k kernel impl (runner.resolve_game_impl "auto")
+from farkle_ii_tpu.simulation.runner import resolve_game_impl
+gkw = None
+if resolve_game_impl("auto", k) == "pallas":
+    gkw = {{"impl": "pallas", "pallas_tile_rows": 16}}
 if compact_fetch:
     fam = family[1:]
     fn = cached_compile(
         lambda prm, sh: T.play_blocks_compact(
-            spec, prm, sh, family=fam, compact=compact, pad_multiple=4096
+            spec, prm, sh, family=fam, compact=compact, pad_multiple=4096,
+            game_kwargs=gkw,
         ),
         params, jnp.zeros((m, nsb), dtype=jnp.uint32),
         # exact production cache key (runner.compact_group_step_for)
@@ -108,7 +119,8 @@ else:
     play = (T.play_and_aggregate_blocks_scanned if family == "scan"
             else T.play_and_aggregate_blocks)
     fn = cached_compile(
-        lambda prm, sh: play(spec, prm, sh, compact=compact, pad_multiple=4096),
+        lambda prm, sh: play(spec, prm, sh, compact=compact, pad_multiple=4096,
+                             game_kwargs=gkw),
         params, jnp.zeros((m, nsb), dtype=jnp.uint32),
         # exact production cache key (runner.group_step_for): the probe sweep
         # then pre-warms the executables the mega run will load
@@ -141,6 +153,62 @@ if compact_fetch:
 else:
     for b in range(m):
         acc.absorb(T.unpack_aggregates(first[0][b], len(grid)))
+acc.check_conservation()
+assert acc.games_attempted == m * nsb * spec.games_per_shuffle
+for _ in range(2):
+    fetch()
+timings = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    fetch()
+    timings.append(time.perf_counter() - t0)
+med = sorted(timings)[2]
+print(json.dumps({{"ok": True, "games": acc.games_attempted,
+                   "steady_s": round(med, 4),
+                   "games_per_sec": round(acc.games_attempted / med)}}))
+"""
+
+
+_ROWS_GROUP_SNIPPET = r"""
+import sys, json, time
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+import numpy as np
+from farkle_ii_tpu.simulation import strategies as S
+from farkle_ii_tpu.simulation import tournament as T
+from farkle_ii_tpu.utils.aot_cache import cached_compile
+
+k, m, nsb = {k}, {m}, {nsb}
+root_seed = {root_seed}
+grid = S.build_strategy_grid()
+p = S.pack_strategy_params(grid)
+params = (jnp.asarray(p.score_threshold), jnp.asarray(p.dice_threshold),
+          jnp.asarray(p.flags))
+spec = T.TournamentSpec(root_seed=root_seed, k=k, n_strategies=len(grid))
+# the exact production rows-group program + cache key
+# (runner.group_step_for with with_rows=True, bit-packed row format)
+fn = cached_compile(
+    lambda prm, sh: T.play_and_aggregate_blocks_with_rows(
+        spec, prm, sh, compact=True, pad_multiple=4096, row_format="bits"
+    ),
+    params, jnp.zeros((m, nsb), dtype=jnp.uint32),
+    extra_key=f"blkgrp-k{{spec.k}}-s{{spec.n_strategies}}"
+    f"-m{{m}}x{{nsb}}-t{{spec.target_score}}-r{{spec.max_rounds}}"
+    f"-p4096-rows2bits",
+)
+sh0 = 0
+def fetch():
+    global sh0
+    a = np.arange(sh0, sh0 + m * nsb, dtype=np.uint32)
+    sh0 += m * nsb
+    aggs, rows, overflow = fn(params, jnp.asarray(a.reshape(m, nsb)))
+    return np.asarray(aggs), np.asarray(rows), bool(np.asarray(overflow))
+
+aggs, rows, overflow = fetch()
+assert not overflow
+acc = T.TournamentAccumulator(len(grid))
+for b in range(m):
+    acc.absorb(T.unpack_aggregates(aggs[b], len(grid)))
 acc.check_conservation()
 assert acc.games_attempted == m * nsb * spec.games_per_shuffle
 for _ in range(2):
@@ -282,6 +350,45 @@ def probe_one_h2h_window(
         "window": window,
         "ok": ok,
         "rc": rc,
+        "seconds": round(time.perf_counter() - start, 1),
+        "steady_s": extra.get("steady_s"),
+        "games_per_sec": extra.get("games_per_sec"),
+        "tail": None if ok else tail,
+    }
+
+
+def probe_one_rows_group(
+    repo: Path, k: int, m: int, nsb: int, timeout: float, root_seed: int = 1234,
+) -> dict:
+    """Probe one row-export block-group shape (bit-packed rows program).
+
+    The rows program is a distinct family from the aggregate-only groups
+    (extra row packing + a much larger fetch), so its fault/speed envelope
+    is probed separately; grounds the runner's rows-group dispatch."""
+    code = _ROWS_GROUP_SNIPPET.format(
+        repo=str(repo), k=k, m=m, nsb=nsb, root_seed=root_seed
+    )
+    start = time.perf_counter()
+    extra: dict = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+        rc = proc.returncode
+        tail = (proc.stdout + proc.stderr)[-2000:]
+        ok = rc == 0 and '"ok": true' in proc.stdout.lower()
+        if ok:
+            try:
+                extra = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (json.JSONDecodeError, IndexError):
+                pass
+    except subprocess.TimeoutExpired as exc:
+        rc, ok = -9, False
+        tail = f"timeout after {timeout}s: " + str(exc)[-500:]
+    return {
+        "k": k, "m": m, "nsb": nsb,
+        "ok": ok, "rc": rc,
         "seconds": round(time.perf_counter() - start, 1),
         "steady_s": extra.get("steady_s"),
         "games_per_sec": extra.get("games_per_sec"),
@@ -433,6 +540,16 @@ def main() -> int:
     )
     ap.add_argument("--nsb", type=int, default=43,
                     help="shuffles per recovery block for --block-groups")
+    ap.add_argument(
+        "--rows-groups", default="",
+        help="comma-separated m values for the row-export group program "
+        "(bit-packed rows; a distinct program family from the aggregate "
+        "groups) at --rows-nsb shuffles per block",
+    )
+    ap.add_argument("--rows-nsb", type=int, default=43,
+                    help="shuffles per block for --rows-groups")
+    ap.add_argument("--rows-k", default="5",
+                    help="player counts for --rows-groups probes")
     ap.add_argument("--group-families", default="scan,flat",
                     help="block-group program families to probe "
                     "(scan = lax.scan of per-block batches, flat = one "
@@ -464,13 +581,14 @@ def main() -> int:
     block_group_probes: list = []
     h2h_probes: list = []
     h2h_window_probes: list = []
+    rows_group_probes: list = []
 
     # flush (merge + write) after EVERY probe: sweeps are long and may be
     # killed between probes — completed probes must never be lost
     def flush() -> None:
         _write_envelope(
             repo, Path(args.out), probes, block_group_probes, h2h_probes,
-            h2h_window_probes, merge=not args.no_merge,
+            h2h_window_probes, rows_group_probes, merge=not args.no_merge,
         )
 
     for k in ks:
@@ -496,6 +614,16 @@ def main() -> int:
                     block_group_probes.append(result)
                     print(json.dumps(result), flush=True)
                     flush()
+
+    for k in [int(v) for v in args.rows_k.split(",") if v]:
+        for m in [int(v) for v in args.rows_groups.split(",") if v]:
+            result = probe_one_rows_group(
+                repo, k, m, args.rows_nsb, args.timeout,
+                root_seed=args.root_seed,
+            )
+            rows_group_probes.append(result)
+            print(json.dumps(result), flush=True)
+            flush()
 
     for batch in [int(v) for v in args.h2h_batches.split(",") if v]:
         result = probe_one_h2h(repo, batch, args.timeout)
@@ -538,6 +666,7 @@ def _write_envelope(
     block_group_probes: list,
     h2h_probes: list,
     h2h_window_probes: list = (),
+    rows_group_probes: list = (),
     *,
     merge: bool,
 ) -> None:
@@ -574,6 +703,10 @@ def _write_envelope(
             old.get("h2h_window_probes", []), list(h2h_window_probes),
             ("nb", "window"),
         )
+        rows_group_probes = merged(
+            old.get("rows_group_probes", []), list(rows_group_probes),
+            ("k", "m", "nsb"),
+        )
 
     payload = {
         "envelope_version": 1,
@@ -593,6 +726,7 @@ def _write_envelope(
         "h2h_window_ok": sorted(
             [p["nb"], p["window"]] for p in h2h_window_probes if p["ok"]
         ),
+        "rows_group_probes": list(rows_group_probes),
     }
     out.parent.mkdir(parents=True, exist_ok=True)
     tmp = out.with_suffix(".tmp")

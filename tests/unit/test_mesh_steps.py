@@ -1,0 +1,121 @@
+"""Fast-suite coverage of the device-mesh execution steps.
+
+Every builder in ``parallel/mesh.py`` runs here on the 8-virtual-device CPU
+mesh (tests/conftest.py) against a tiny 24-strategy spec and is asserted
+bit-identical to its single-device twin — the mesh analogue of the
+reference's "changing worker counts never changes results" contract
+(run_tournament.py:1337). The full-runner mesh test stays in the slow
+suite; this file exists so a mesh regression fails `make ci` too
+(round-4 verdict: parallel/mesh.py had 22.9% fast coverage).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from farkle_ii_tpu.parallel import mesh as M
+from farkle_ii_tpu.simulation import strategies as S
+from farkle_ii_tpu.simulation import tournament as T
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = S.build_strategy_grid(
+        score_thresholds=(300,),
+        dice_thresholds=(2,),
+        smart_one_opts=(False,),
+        run_up_score_opts=(False,),
+    )  # 24 strategies
+    p = S.pack_strategy_params(grid)
+    params = (
+        jnp.asarray(p.score_threshold),
+        jnp.asarray(p.dice_threshold),
+        jnp.asarray(p.flags),
+    )
+    spec = T.TournamentSpec(root_seed=11, k=2, n_strategies=len(grid))
+    return spec, params
+
+
+def test_make_mesh_shapes_and_validation():
+    mesh = M.make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == (M.SHUFFLE_AXIS,)
+    sub = M.make_mesh(4)
+    assert sub.devices.size == 4
+    with pytest.raises(ValueError, match="devices"):
+        M.make_mesh(4096)
+
+
+def test_sharded_compact_group_matches_single_device(setup):
+    """The production dispatch unit sharded over 8 devices == 1 device."""
+    spec, params = setup
+    m, nsb = 2, 8
+    sh = jnp.arange(m * nsb, dtype=jnp.uint32).reshape(m, nsb)
+    gstep = M.sharded_compact_group_step(spec, M.make_mesh(8), family="scan")
+    counts, mlo, mhi = (np.asarray(x) for x in gstep(params, sh))
+    rc, rlo, rhi = (
+        np.asarray(x)
+        for x in jax.jit(
+            lambda p, s: T.play_blocks_compact(spec, p, s, family="scan")
+        )(params, sh)
+    )
+    # counts are plain integer sums -> exact; limb vectors depend on the
+    # grouping of partials, so compare the recombined totals the host uses
+    np.testing.assert_array_equal(counts, rc)
+    for got, want in zip(
+        T.group_metrics_from_limbs(mlo, mhi, spec.n_strategies),
+        T.group_metrics_from_limbs(rlo, rhi, spec.n_strategies),
+    ):
+        np.testing.assert_array_equal(got, want)
+    # mis-sharded span rejected
+    with pytest.raises(ValueError, match="divisible"):
+        gstep(params, jnp.arange(m * 3, dtype=jnp.uint32).reshape(m, 3))
+
+
+def test_sharded_packed_and_rows_match_single_device(setup):
+    spec, params = setup
+    mesh = M.make_mesh(8)
+    sh = jnp.arange(8, dtype=jnp.uint32)
+
+    packed = np.asarray(M.sharded_packed_step(spec, mesh)(params, sh))
+    want = np.asarray(
+        jax.jit(lambda p, s: T.pack_aggregates(T.play_and_aggregate(spec, p, s)))(
+            params, sh
+        )
+    )
+    np.testing.assert_array_equal(packed, want)
+
+    packed2, rows = M.sharded_rows_step(spec, mesh)(params, sh)
+    np.testing.assert_array_equal(np.asarray(packed2), want)
+    result, seat_ids = jax.jit(lambda p, s: T.play_shuffles(spec, p, s))(
+        params, sh
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows), np.asarray(T.pack_result_rows(result, seat_ids))
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        M.sharded_packed_step(spec, mesh)(params, jnp.arange(3, dtype=jnp.uint32))
+
+
+def test_sharded_block_step_matches_single_device(setup):
+    spec, params = setup
+    sh2d = jnp.arange(16, dtype=jnp.uint32).reshape(2, 8)
+    lo, hi = M.sharded_block_step(spec, M.make_mesh(8))(params, sh2d)
+    rlo, rhi = jax.jit(
+        lambda p, s: T.play_and_aggregate_block(spec, p, s)
+    )(params, sh2d)
+    got = T.unpack_block_aggregates(
+        (np.asarray(lo), np.asarray(hi)), spec.n_strategies
+    )
+    want = T.unpack_block_aggregates(
+        (np.asarray(rlo), np.asarray(rhi)), spec.n_strategies
+    )
+    assert got.games_attempted == want.games_attempted
+    for name in (
+        "wins", "metric_sums", "metric_sq_hi2", "metric_sq_hilo",
+        "metric_sq_lo2",
+    ):
+        np.testing.assert_array_equal(getattr(got, name), getattr(want, name))
