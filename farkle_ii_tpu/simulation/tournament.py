@@ -386,6 +386,12 @@ def aggregate_from_permutation(
     ns_g, _ = seat_ids.shape
     perm = seat_ids.reshape(-1, n_strategies)  # (NS, S)
     ns = perm.shape[0]
+    impl = metrics_impl or _METRICS_IMPL_DEFAULT
+    if impl == "matmul" and ns >= (1 << 24) // 127:
+        raise ValueError(
+            f"{ns} shuffles exceed the bf16-exactness bound of the "
+            "matmul metric reduction"
+        )
     g = n_strategies // k
     inv = jnp.argsort(perm, axis=1)  # (NS, S): position of strategy s
 
@@ -406,15 +412,9 @@ def aggregate_from_permutation(
     completed_exp = gsum(completed_pos.astype(jnp.int32))
     wins = gsum(win_pos.astype(jnp.int32))
 
-    impl = metrics_impl or _METRICS_IMPL_DEFAULT
     metrics, _ = winner_metrics(result)  # (B, M)
     if impl == "matmul":
         masked_bm = jnp.where(result.completed[:, None], metrics, 0)
-        if ns >= (1 << 24) // 127:
-            raise ValueError(
-                f"{ns} shuffles exceed the bf16-exactness bound of the "
-                "matmul metric reduction"
-            )
         winner_sid = jnp.take_along_axis(
             seat_ids, jnp.clip(result.winner_seat, 0, None)[:, None], axis=1
         )[:, 0]

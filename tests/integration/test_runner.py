@@ -708,3 +708,39 @@ def test_simulation_golden_values_k3_h2h_coords(tmp_path, golden):
         "winning_score_sum": m["winning_score_sum"].astype(int).tolist(),
         "h2h_window_counts": out.astype(int).tolist(),
     })
+
+
+def test_simulation_golden_values_k8(tmp_path, golden):
+    """Third golden cell: k=8 — the seat-count regime where the kernel is
+    weakest (widest carry, deepest select chains) and where production
+    routes to the pallas kernel on TPU. On CPU this runs the XLA kernel;
+    the impl race asserts the two are bit-identical on device, so one
+    golden pins both."""
+    import pyarrow.parquet as pq
+
+    cfg = C.AppConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.sim.seed = 83
+    cfg.sim.n_players_list = [8]
+    cfg.sim.expanded_metrics = True
+    cfg.sim.score_thresholds = [300, 350]
+    cfg.sim.dice_thresholds = [2]
+    cfg.sim.smart_one_opts = [False]
+    cfg.sim.run_up_score_opts = [False]
+    cfg.sim.shuffles_per_device_batch = 2
+    cfg.screening.resolution_delta = 0.9
+    cfg.batching.target_batches = 2
+    cfg.batching.min_shuffles_per_batch = 2
+    cfg.tpu.aot_cache = False
+    C.assign_config_sha(cfg)
+    R.run_simulation(cfg, progress=lambda m: None)
+    t = pq.read_table(cfg.checkpoint_path(8)).to_pandas().sort_values("strategy_id")
+    m = pq.read_table(cfg.metrics_path(8)).to_pandas().sort_values("strategy_id")
+    golden("simulation_seed83_k8", {
+        "wins": t["wins"].astype(int).tolist(),
+        "attempted_exposures": t["attempted_exposures"].astype(int).tolist(),
+        "safety_limit_exposures": t["safety_limit_exposures"].astype(int).tolist(),
+        "winning_score_sum": m["winning_score_sum"].astype(int).tolist(),
+        "winning_score_sq_sum": m["winning_score_sq_sum"].astype(int).tolist(),
+        "n_rounds_sum": m["n_rounds_sum"].astype(int).tolist(),
+    })

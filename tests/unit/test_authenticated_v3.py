@@ -278,3 +278,79 @@ def test_method_contract_edit_is_detected(artifact, stage_id):
     sc.write_text(json.dumps(payload))
     with pytest.raises(ac.CorruptSidecarError, match="digest"):
         ac.validate_authenticated_artifact(artifact)
+
+
+def test_schema_false_declaration_rejected(tmp_path, stage_id):
+    """A sidecar recorded for one Arrow schema must not validate bytes
+    whose actual schema differs, even at equal byte content claims
+    (reference test_actual_arrow_schema_rejects_false_declarations)."""
+    a = tmp_path / "a.parquet"
+    pq.write_table(pa.table({"a": pa.array([1, 2], type=pa.int64())}), a)
+    made = ac.make_authenticated_sidecar(a, stage_identity=stage_id)
+    # rewrite with a different schema (nullability/type change)
+    pq.write_table(pa.table({"a": pa.array([1, 2], type=pa.int32())}), a)
+    with pytest.raises(ac.ArtifactMismatchError):
+        ac.validate_authenticated_artifact(
+            a, expected_sidecar_sha256=made["sidecar_contract_sha256"]
+        )
+
+
+def test_sidecar_contract_sha_is_not_self_asserted(artifact, stage_id):
+    """The sidecar's own contract hash is recomputed from its fields — a
+    tamperer cannot edit fields AND the recorded hash to match, because
+    the validator recomputes it (reference
+    test_sidecar_contract_hash_is_not_a_self_asserted_free_field)."""
+    made = ac.make_authenticated_sidecar(artifact, stage_identity=stage_id)
+    sc = ac.auth_sidecar_path(artifact)
+    payload = json.loads(sc.read_text())
+    payload["logical_operation"] = "forged_op"
+    # forge the self-declared hash to match the edited payload
+    forged = dict(payload)
+    forged.pop("sidecar_contract_sha256", None)
+    payload["sidecar_contract_sha256"] = ac.canonical_json_sha(forged)
+    sc.write_text(json.dumps(payload))
+    with pytest.raises(ac.AuthenticatedContractError):
+        ac.validate_authenticated_artifact(
+            artifact, expected_sidecar_sha256=made["sidecar_contract_sha256"]
+        )
+
+
+def test_expected_sidecar_sha_pins_the_exact_contract(artifact, stage_id):
+    """A downstream consumer pinning a sidecar sha must reject any other
+    (even internally consistent) sidecar for the same bytes."""
+    made = ac.make_authenticated_sidecar(
+        artifact, stage_identity=stage_id, logical_operation="first",
+    )
+    first_sha = made["sidecar_contract_sha256"]
+    # republish a DIFFERENT but self-consistent sidecar for the same bytes
+    remade = ac.make_authenticated_sidecar(
+        artifact, stage_identity=stage_id, logical_operation="second",
+    )
+    assert remade["sidecar_contract_sha256"] != first_sha
+    ac.validate_authenticated_artifact(
+        artifact, expected_sidecar_sha256=remade["sidecar_contract_sha256"]
+    )
+    with pytest.raises(ac.ArtifactMismatchError):
+        ac.validate_authenticated_artifact(
+            artifact, expected_sidecar_sha256=first_sha
+        )
+
+
+def test_manifest_root_binds_entry_order_and_content(tmp_path, stage_id):
+    """The immutable-manifest root must change when any entry's identity
+    or the streaming order changes (reference
+    test_manifest_root_is_streaming_ordered_and_binds_all_entry_identities)."""
+    m1 = tmp_path / "m1.ndjson"
+    lines = [
+        json.dumps({"name": "s1", "sha256": "a" * 64, "coordinate": [0]}),
+        json.dumps({"name": "s2", "sha256": "b" * 64, "coordinate": [1]}),
+    ]
+    m1.write_text("\n".join(lines) + "\n")
+    r1 = ac.compute_manifest_root(m1)
+    m2 = tmp_path / "m2.ndjson"
+    m2.write_text("\n".join(reversed(lines)) + "\n")
+    assert ac.compute_manifest_root(m2) != r1
+    m3 = tmp_path / "m3.ndjson"
+    tampered = [lines[0].replace("a" * 64, "c" * 64), lines[1]]
+    m3.write_text("\n".join(tampered) + "\n")
+    assert ac.compute_manifest_root(m3) != r1
