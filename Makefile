@@ -9,11 +9,12 @@
 #   make ci-full  — contracts + full suite under the line-coverage gate
 #                   (sys.monitoring covgate, threshold below)
 
-# full-suite gate (measured 88.1% on the round-3 tree); the default suite
-# gates lower because slow-marked integration tests cover the deep paths
-# (measured 80.8%)
-COV_THRESHOLD ?= 85
-COV_FAST_THRESHOLD ?= 78
+# full-suite gate at the reference's own bar (reference Makefile
+# COV_THRESHOLD=90; measured 92.0% round 4, round-5 tree adds tests); the
+# default suite gates lower because slow-marked integration tests cover
+# the deep paths (measured ~82%)
+COV_THRESHOLD ?= 90
+COV_FAST_THRESHOLD ?= 80
 
 .PHONY: test test-full fast-test contracts bench ci ci-full
 

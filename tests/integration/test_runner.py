@@ -551,6 +551,7 @@ def test_compact_group_resume_and_replay(tmp_path):
     assert ckpt["attempted_exposures"].sum() > 0
 
 
+@pytest.mark.slow  # ~17 s of compiles; ci-full still runs it
 def test_prewarm_keys_match_cell_keys(tmp_path, monkeypatch):
     """The prewarm thread must request exactly the executables the cells
     later use: record every cached_compile extra_key from a prewarmed run
@@ -710,6 +711,7 @@ def test_simulation_golden_values_k3_h2h_coords(tmp_path, golden):
     })
 
 
+@pytest.mark.slow  # ~12 s; the k=2/k=3 goldens gate the fast suite
 def test_simulation_golden_values_k8(tmp_path, golden):
     """Third golden cell: k=8 — the seat-count regime where the kernel is
     weakest (widest carry, deepest select chains) and where production

@@ -80,14 +80,14 @@ def test_sharded_packed_and_rows_match_single_device(setup):
     mesh = M.make_mesh(8)
     sh = jnp.arange(8, dtype=jnp.uint32)
 
-    packed = np.asarray(M.sharded_packed_step(spec, mesh)(params, sh))
     want = np.asarray(
         jax.jit(lambda p, s: T.pack_aggregates(T.play_and_aggregate(spec, p, s)))(
             params, sh
         )
     )
-    np.testing.assert_array_equal(packed, want)
-
+    # the rows step's first output IS the packed-aggregate psum, so one
+    # compile covers both contracts; sharded_packed_step itself is
+    # exercised on its validation path (its run body is the same psum)
     packed2, rows = M.sharded_rows_step(spec, mesh)(params, sh)
     np.testing.assert_array_equal(np.asarray(packed2), want)
     result, seat_ids = jax.jit(lambda p, s: T.play_shuffles(spec, p, s))(
@@ -100,6 +100,8 @@ def test_sharded_packed_and_rows_match_single_device(setup):
         M.sharded_packed_step(spec, mesh)(params, jnp.arange(3, dtype=jnp.uint32))
 
 
+@pytest.mark.slow  # ~13 s CPU compile; the compact-group test keeps the
+# production group program fast-covered
 def test_sharded_block_step_matches_single_device(setup):
     spec, params = setup
     sh2d = jnp.arange(16, dtype=jnp.uint32).reshape(2, 8)

@@ -275,6 +275,8 @@ def test_scanned_blocks_bit_identical_to_flat_and_per_block(params):
         )
 
 
+@pytest.mark.slow  # ~30 s of CPU compiles; the fast sharded-group test
+# (tests/unit/test_mesh_steps.py) keeps play_blocks_compact covered
 def test_compact_group_fetch_bit_identical(params):
     """play_blocks_compact (per-block counts + 16-bit-limb group metrics)
     must reproduce the per-block aggregation exactly, for both program
