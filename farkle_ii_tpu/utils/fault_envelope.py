@@ -138,6 +138,19 @@ class FaultEnvelope:
         if not timed:
             return None
         speed, m, fam = max(timed)
+        # deserialize-aware tie-break: the flat families inline the whole
+        # m*nsb batch into the executable, and their AOT blobs measured up
+        # to ~12 s slower to deserialize per cell than the scan families
+        # (round-5 mega warm log) — a cost the probed steady-state games/s
+        # never sees. Within 15% probed speed, prefer the scan program.
+        if fam.endswith("flat"):
+            scan_best = [
+                (s, mm, ff) for (s, mm, ff) in timed if ff.endswith("scan")
+            ]
+            if scan_best:
+                s2, m2, f2 = max(scan_best)
+                if s2 >= 0.85 * speed:
+                    speed, m, fam = s2, m2, f2
         if floor_speed is not None and speed <= floor_speed:
             return None
         return m, fam

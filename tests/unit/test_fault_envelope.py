@@ -94,10 +94,20 @@ def test_best_block_group_exact_nsb_only(tmp_path):
     ]
     env = load_fault_envelope(_write(tmp_path, payload))
     # fastest safe (m, family) for the exact per-block shuffle count; other
-    # nsb values are a different program shape and must not transfer
-    assert env.best_block_group(2, nsb=43, compact=True, max_m=100) == (8, "flat")
+    # nsb values are a different program shape and must not transfer. The
+    # flat probe is fastest (3.5M) but within 15% of the scan (3.0M), so
+    # the deserialize-aware tie-break picks the scan program (flat AOT
+    # blobs measured ~12 s slower to load per cell).
+    assert env.best_block_group(2, nsb=43, compact=True, max_m=100) == (8, "scan")
     assert env.best_block_group(2, nsb=43, compact=True, max_m=6) == (4, "scan")
     assert env.best_block_group(2, nsb=41, compact=True, max_m=100) is None
+    # a flat probe faster by MORE than 15% keeps the flat family
+    payload["block_group_probes"].append(
+        {"k": 2, "m": 8, "nsb": 43, "compact": True, "family": "flat",
+         "ok": True, "games_per_sec": 4_000_000},
+    )
+    env2 = load_fault_envelope(_write(tmp_path, payload))
+    assert env2.best_block_group(2, nsb=43, compact=True, max_m=100) == (8, "flat")
     assert env.best_block_group(3, nsb=43, compact=True, max_m=100) is None
 
 
