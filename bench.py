@@ -85,7 +85,7 @@ def main() -> None:
     if envelope is not None:
         for nsb in (128, 64):
             probed = envelope.best_block_group(
-                k, nsb=nsb, compact=True, max_m=32, floor_speed=None
+                k, nsb=nsb, compact=True, max_m=67, floor_speed=None
             )
             if not probed:
                 continue
