@@ -170,3 +170,39 @@ def test_fingerprint_jit_cache_and_determinism():
     f1 = rows_mod._fingerprint_jit(102, 7, 3)
     f2 = rows_mod._fingerprint_jit(102, 7, 3)
     assert f1 is f2
+
+
+def test_swar_matches_vec_scorer_on_random_batches():
+    rng = np.random.default_rng(5)  # test-only stream
+    for n in range(1, 7):
+        faces = rng.integers(1, 7, size=(500, 6))
+        faces[:, n:] = 0  # inactive lanes
+        counts = np.stack(
+            [(faces == f).sum(axis=1) for f in range(1, 7)], axis=1
+        ).astype(np.int32)
+        vec = sc.score_counts_vec(jnp.asarray(counts))
+        acc = (counts * (1 << (4 * np.arange(6)))).sum(axis=1).astype(np.int32)
+        packed = sc.score_packed_flat(
+            jnp.asarray(acc), jnp.asarray(counts.sum(axis=1, dtype=np.int32))
+        )
+        for a, b in zip(vec, packed):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixed_radix_face_extraction_matches_manual():
+    from farkle_ii_tpu.ops import threefry as tf
+
+    k0 = jnp.asarray([7, 9], dtype=jnp.uint32)
+    k1 = jnp.asarray([3, 4], dtype=jnp.uint32)
+    r = jnp.asarray([0, 5], dtype=jnp.uint32)
+    seat = jnp.asarray([0, 2], dtype=jnp.uint32)
+    faces = [np.asarray(f) for f in tf.roll_faces_1h(k0, k1, r, seat)]
+    w0, w1 = (np.asarray(w) for w in tf.threefry2x32(k0, k1, r, seat))
+    expect = []
+    for w in (w0, w1):
+        u = w.astype(np.uint64)
+        for _ in range(3):
+            expect.append((u % 6).astype(np.int32))
+            u = u // 6
+    for got, want in zip(faces, expect):
+        np.testing.assert_array_equal(got, want)
