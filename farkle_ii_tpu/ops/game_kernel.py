@@ -626,12 +626,15 @@ def make_game_step(
 
 # ── packed loop carry ────────────────────────────────────────────────────────
 # Alternate carry layout (``play_games(packed=True)``): bounded
-# control/counter fields share int32 words (≈ -30% carry bytes). Measured
-# ~5% slower than the flat carry on v5e (the fused loop body already
-# amortizes carry traffic; unpack/repack ALU dominates), so it is NOT the
-# production default — kept tested as the starting point if a future
-# backend shifts the balance. GameState stays the external interface;
-# PackedState exists only between pack_state/unpack_state inside play_games.
+# control/counter fields share int32 words (≈ -30% carry bytes). Re-measured
+# in round 5 ON THE PRODUCTION BLOCK-SCAN PROGRAM (the round-4 fori-only
+# microbenchmark had suggested 1.44x the other way): 2-3% SLOWER than the
+# flat carry at k=5/ns=128 (results/headline_ab_k5.json — the step is
+# op-count bound at production batches and the pack/unpack ALU is pure
+# overhead), so it is NOT the production default — kept tested as the
+# starting point if a future backend shifts the balance. GameState stays
+# the external interface; PackedState exists only between
+# pack_state/unpack_state inside play_games.
 #
 # Bit layouts (int32):
 #   ctrl:  dice_left 0-2 | seat 3-6 | rolls_this_turn 7-16 | round_num 17-25
