@@ -83,6 +83,15 @@ def main() -> None:
     # (per-block counts + group metric limbs); when the envelope probed it,
     # the headline measures that exact program at its fastest probed shape
     if envelope is not None:
+        from farkle_ii_tpu.simulation.runner import resolve_game_impl
+
+        # the headline candidate runs the production per-k kernel choice
+        # (pallas from k >= 5 on production-size batches)
+        head_impl = resolve_game_impl("auto", k)
+        head_gkw = (
+            {"impl": "pallas", "pallas_tile_rows": 16}
+            if head_impl == "pallas" else None
+        )
         for nsb in (128, 64):
             probed = envelope.best_block_group(
                 k, nsb=nsb, compact=True, max_m=67, floor_speed=None
@@ -97,12 +106,12 @@ def main() -> None:
                 compiled = cached_compile(
                     lambda prm, sh: T.play_blocks_compact(
                         spec, prm, sh, family=fam, compact=True,
-                        pad_multiple=4096,
+                        pad_multiple=4096, game_kwargs=head_gkw,
                     ),
                     params,
                     jnp.zeros((m_blocks, nsb), dtype=jnp.uint32),
                     extra_key=f"cblk{fam}-k{k}-s{len(grid)}-m{m_blocks}x{nsb}"
-                    f"-t10000-r200-p4096",
+                    f"-t10000-r200-p4096-{head_impl}",
                 )
                 games_per_step = m_blocks * nsb * spec.games_per_shuffle
 

@@ -334,8 +334,8 @@ class TPUConfig:
     # straggler compaction (ops/game_kernel.play_games), "pallas" = the
     # gridded VMEM-resident mega-kernel (ops/pallas_kernel, tile-granular
     # straggler isolation, no compaction fault surface), "auto" = per-k
-    # measured choice (results/impl_race.json: pallas wins from k >= 6,
-    # 1.5-1.8x at k >= 10). Execution-only: the kernels are bit-identical
+    # measured choice (pallas wins from k >= 5 on production-size
+    # batches; 1.5-1.8x at k >= 10 — runner.PALLAS_MIN_K). Execution-only: the kernels are bit-identical
     # (tests/unit/test_pallas_kernel.py proves it on-device and interpreted).
     game_impl: str = "auto"
     # pallas grid tile height in 128-lane rows; 16 is the measured sweet

@@ -67,10 +67,13 @@ SIM_STATE_VERSION = 1
 
 
 # smallest k at which the gridded pallas mega-kernel beats the XLA
-# while-loop kernel on v5e (results/impl_race.json: XLA wins k <= 5,
-# pallas wins from k = 6 — 1.35x at k=8, 1.5x at k=10/12, and 1.8x at
-# k=12 when the batch is production-sized, /tmp -> results/impl_race.json)
-PALLAS_MIN_K = 6
+# while-loop kernel on v5e. The equal-batch impl race (results/
+# impl_race.json) put the crossover at k=6, but on the PRODUCTION m=67
+# group program (4.4M games per dispatch) pallas also wins k=5 by 9%
+# (1.454M vs 1.331M games/s, round-5 A/B) while k<=4 stays clearly XLA
+# (k=4: 1.64M vs 1.30M; k=3: 2.13M vs 0.98M) — the crossover is batch-
+# size dependent and production batches are the relevant regime.
+PALLAS_MIN_K = 5
 
 
 def resolve_game_impl(configured: str, k: int) -> str:
